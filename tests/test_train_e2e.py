@@ -1,0 +1,74 @@
+"""End-to-end: synthetic multi-domain data -> jitted train loop -> eval ->
+early stop -> checkpoint roundtrip (SURVEY.md §4 integration tests)."""
+
+import numpy as np
+import pytest
+
+from tpurec.config import Config, DataConfig, ModelConfig, TrainConfig
+from tpurec.data import make_synthetic
+from tpurec.train import Trainer
+
+SMALL_MODEL = dict(
+    embed_dim=8,
+    mlp_dims=(32, 16),
+    tower_dims=(32, 16),
+    mmoe_expert_dims=(32, 16),
+    mmoe_tower_dims=(16,),
+    ple_expert_dims=((32,), (16,)),
+    ple_tower_dims=(16,),
+    sei_dims=(16, 16),
+    atten_embed_dim=8,
+    att_layer_num=1,
+    gate_hidden_dim=16,
+)
+
+
+def _cfg(model: str, epoch=2, bs=256) -> Config:
+    return Config(
+        model=ModelConfig(model=model, **SMALL_MODEL),
+        train=TrainConfig(bs=bs, epoch=epoch, seed=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic(n_rows=12000, n_fields=6, n_domain=4, domain_idx=3, seed=1)
+
+
+def test_deepfm_learns(data):
+    cfg = _cfg("deepfm", epoch=2)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    out = tr.fit(data.train, data.valid, test=data.test,
+                 domain_cnt_weight=data.domain_cnt_weight())
+    assert out["valid"]["total_auc"] > 0.62
+    assert out["test"]["total_auc"] > 0.60
+    assert np.isfinite(out["valid"]["total_loss"])
+
+
+def test_multitower_learns_with_group_routing(data):
+    # split grouping: one tower per domain (config.py:63 'split' strategy)
+    cfg = _cfg("mmoe", epoch=2)
+    tr = Trainer(
+        cfg, data.field_dims, data.n_domain, data.domain_idx,
+        domain2group=np.arange(data.n_domain),
+    )
+    assert tr.n_tower == data.n_domain
+    out = tr.fit(data.train, data.valid, domain_cnt_weight=data.domain_cnt_weight())
+    assert out["valid"]["total_auc"] > 0.6
+    assert out["valid"]["mean_auc"] > 0.55
+
+
+def test_early_stop_and_checkpoint(tmp_path, data):
+    cfg = _cfg("deepfm", epoch=1)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    out = tr.fit(data.train, data.valid, domain_cnt_weight=data.domain_cnt_weight())
+    path = str(tmp_path / "ckpt.pkl")
+    tr.save_checkpoint(path, extra={"note": "test"})
+
+    r1 = tr.evaluate(data.valid[0], data.valid[1], data.domain_cnt_weight())
+
+    tr2 = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    payload = tr2.load_checkpoint(path)
+    assert payload["extra"]["note"] == "test"
+    r2 = tr2.evaluate(data.valid[0], data.valid[1], data.domain_cnt_weight())
+    assert r1["total_auc"] == pytest.approx(r2["total_auc"], abs=1e-9)

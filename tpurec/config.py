@@ -1,0 +1,198 @@
+"""Typed configuration for tpurec.
+
+Replaces the reference's two-layer mutable config (module globals in
+``config.py`` overlaid by argparse in ``main.py:16-67``) with frozen
+dataclasses.  Default values mirror the reference defaults cited below so
+that parity runs use identical hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Hyperparameters of the model zoo.
+
+    Defaults follow /root/reference/config.py:12-60 and main.py:22-27.
+    """
+
+    model: str = "deepfm"
+    embed_dim: int = 16                       # config.py:12
+    dropout: float = 0.2                      # model ctors' default
+
+    # common MLP dims for dcn/dcnv2/autoint (config.py:18)
+    mlp_dims: Tuple[int, ...] = (256, 128, 64)
+    # common tower dims for pepnet/epnet/star/adl/hinet (config.py:21)
+    tower_dims: Tuple[int, ...] = (256, 128, 64, 32)
+
+    # aux heads (config.py:24-28); use_atten=True is the reference default
+    use_dcn: bool = False
+    use_atten: bool = True
+    atten_embed_dim: int = 64                 # config.py:25
+    att_layer_num: int = 3                    # config.py:26
+    att_head_num: int = 2                     # config.py:27
+    att_res: bool = True                      # config.py:28
+
+    # dcn & dcnv2 (config.py:31)
+    n_cross_layers: int = 3
+    dcnv2_structure: str = "parallel"         # dcnv2.py:27
+    dcnv2_low_rank: int = 32                  # dcnv2.py:27
+    dcnv2_num_experts: int = 4                # dcnv2.py:27
+    dcnv2_use_low_rank_mixture: bool = True
+
+    # mmoe (config.py:34-36)
+    mmoe_n_expert: int = 4
+    mmoe_expert_dims: Tuple[int, ...] = (256, 128, 64)
+    mmoe_tower_dims: Tuple[int, ...] = (64, 32)
+
+    # ple (config.py:39-42)
+    ple_n_expert_specific: int = 2
+    ple_n_expert_shared: int = 2
+    ple_expert_dims: Tuple[Tuple[int, ...], ...] = ((256, 128), (64,))
+    ple_tower_dims: Tuple[int, ...] = (64, 32)
+
+    # pepnet (config.py:45)
+    gate_hidden_dim: int = 64
+
+    # hinet (config.py:48)
+    sei_dims: Tuple[int, ...] = (64, 32)
+    sei_expert_num: int = 4                   # hinet.py:9
+
+    # adl (config.py:52)
+    dlm_iters: int = 3
+    dlm_update_rate: float = 0.9              # adl.py:22
+
+    # adasparse (adasparse.py:44-46)
+    adasparse_alpha: float = 1.0
+    adasparse_beta: float = 2.0
+    adasparse_epsilon: float = 0.25
+    adasparse_init_std: float = 1e-4          # adasparse.py:18
+
+    # regularization (main.py:23,52-54)
+    l2_reg: float = 1e-5
+    l1_reg: float = 0.0
+
+    # Reproduce the reference's PPNet weight sharing across towers
+    # (pepnet.py:161,166 uses [module]*n_tower — the same module object is
+    # repeated, so all towers share one set of tower-layer weights).
+    pepnet_share_tower_weights: bool = True
+
+    @property
+    def l2_reg_embedding(self) -> float:
+        return self.l2_reg
+
+    @property
+    def l2_reg_linear(self) -> float:
+        return self.l2_reg
+
+    @property
+    def l2_reg_dnn(self) -> float:
+        return self.l2_reg
+
+    @property
+    def l2_reg_cross(self) -> float:
+        return self.l2_reg
+
+
+@dataclass(frozen=True)
+class CDCConfig:
+    """CDC training-procedure hyperparameters (main.py:31-40, config.py:51-57)."""
+
+    base_model: str = "ple"                   # main.py:18
+    n_cluster: int = 4                        # main.py:31
+    n_causal_mask: int = 50                   # main.py:37
+    use_metric: str = "loss"                  # config.py:52
+    warmup_step: int = 200                    # main.py:33 (units of 1024 rows)
+    update_matrix_step: int = 2               # main.py:32 (units of 1024 rows)
+    update_interval: int = 1000               # main.py:38 (units of 1024 rows)
+    p_weight: float = 0.02                    # main.py:34
+    p_weight_method: str = "exponential_decay"  # main.py:35
+    p_weight_exp_decay: float = 0.4           # main.py:36
+    affinity_func: str = "minus"              # main.py:39
+    old_matrix_weight: float = 0.0            # main.py:40
+    cdc_tower_dims: Tuple[int, ...] = (64, 32)  # config.py:57
+    cluster_mode: str = "iterative"           # cdc.py:121
+    # max number of domains concatenated into one optimization step when
+    # training on a domain subset (run.py:535 hard-codes chunks of 7)
+    group_chunk_size: int = 7
+    save_matrix_artifacts: bool = False
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization/harness hyperparameters (config.py:9-15, main.py:21-25, run.py:720-723)."""
+
+    lr: float = 1e-3                          # main.py:22
+    bs: int = 512                             # config.py:13
+    epoch: int = 10                           # config.py:14
+    wd: float = 1e-8                          # config.py:15 (Adam weight_decay)
+    adam_b1: float = 0.9                      # run.py:721
+    adam_b2: float = 0.99                     # run.py:721
+    adam_eps: float = 1e-8                    # run.py:721
+    early_stop: int = 2                       # config.py:9
+    seed: int = 2000                          # main.py:19
+    is_evaluate_multi_domain: bool = True     # config.py:11
+    log_interval_rows: int = 204800           # run.py:474 (log every N rows)
+    save_path: str = "save"
+    # compute dtype for dense math; params/accum stay f32
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """SPMD mesh layout: data axis x model axis over ICI.
+
+    The reference is single-GPU (run.py:32-33); this is the new-build
+    distributed layer (SURVEY.md §2.7): batch sharded over ``data``,
+    embedding-table rows sharded over ``model``.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    n_data: int = 1
+    n_model: int = 1
+
+
+# Static domain->group strategies (config.py:59-71).
+DOMAIN2GROUP_ORG_DICT: Dict[str, Dict[str, List[int]]] = {
+    "amazon": {"mix": [0] * 25, "split": list(range(25))},
+    "aliccp": {"mix": [0] * 50, "split": list(range(50))},
+}
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset_name: str = "synthetic"
+    data_path: str = "dataset"
+    n_domain: int = 6
+    # synthetic-data knobs
+    n_rows: int = 20000
+    n_fields: int = 8
+    field_dims: Optional[Tuple[int, ...]] = None
+    domain_idx: int = 3                       # 'domain' position (run.py:51 amazon)
+    group_strategy: str = "mix"               # main.py:27
+    prepare2train_month: int = 12             # main.py:26
+    domain_filter: Optional[Tuple[int, ...]] = None
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cdc: CDCConfig = field(default_factory=CDCConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config(**overrides) -> Config:
+    cfg = Config()
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    return cfg

@@ -1,0 +1,268 @@
+"""Core NN building blocks (TPU-first layer library).
+
+Re-designs the reference's ``model/layer.py`` primitives for XLA:
+
+- :class:`FusedEmbedding` — ONE logical embedding table over the concatenated
+  field vocabularies with static per-field offsets (layer.py:129-157).  This
+  is the table that gets row-sharded over the model axis of the device mesh.
+- :class:`Linear` / :class:`StackedLinear` — dense layers with torch-default
+  init; the stacked variant carries a leading tower/expert axis so that
+  "one MLP per tower" Python loops (layer.py:40-56, mmoe.py:56-60) become a
+  single batched einsum on the MXU.
+- :class:`BatchNorm` — torch-semantics BN (momentum 0.1, eps 1e-5, unbiased
+  running-var update) with optional per-row mask weights.  Masked statistics
+  replace the reference's variable-size gathered sub-batches (star.py:84-86,
+  adl.py:108-109) with fixed-shape dense compute.
+- :class:`MLP` / :class:`StackedMLP` — Linear→BN→ReLU→Dropout stacks
+  (layer.py:178-206 MultiLayerPerceptron / layer.py:238-300 DNN).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurec.nn import initializers as tinit
+
+
+def activation(name: str):
+    """str -> activation fn (layer.py:209-235)."""
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "linear":
+        return lambda x: x
+    if name == "tanh":
+        return jnp.tanh
+    raise NotImplementedError(f"activation {name!r}")
+
+
+class Linear(nn.Module):
+    """Dense layer with torch nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("weight", tinit.linear_weight_init(in_dim), (in_dim, self.features))
+        y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", tinit.linear_bias_init(in_dim), (self.features,))
+            y = y + b
+        return y
+
+
+class StackedLinear(nn.Module):
+    """A bank of ``n_stack`` independent Linear layers as one [T, in, out] einsum.
+
+    Input [B, in] broadcasts to every stack entry; input [B, T, in] applies
+    entry t to row slice [:, t, :].  Output is [B, T, out].
+    """
+
+    n_stack: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param(
+            "weight", tinit.linear_weight_init(in_dim), (self.n_stack, in_dim, self.features)
+        )
+        if x.ndim == 2:
+            y = jnp.einsum("bi,tio->bto", x, w, preferred_element_type=jnp.float32)
+        elif x.ndim == 3:
+            y = jnp.einsum("bti,tio->bto", x, w, preferred_element_type=jnp.float32)
+        else:
+            raise ValueError(f"StackedLinear expects rank-2/3 input, got {x.shape}")
+        if self.use_bias:
+            b = self.param("bias", tinit.linear_bias_init(in_dim), (self.n_stack, self.features))
+            y = y + b[None]
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm1d with torch semantics and optional masked statistics.
+
+    - normalizes with the *biased* batch variance, updates ``running_var``
+      with the *unbiased* one (torch F.batch_norm semantics)
+    - ``momentum=0.1`` is the torch convention: new = (1-m)*old + m*batch
+    - stats are taken over axis 0 only, so a stacked input [B, T, C] gets
+      independent per-(T,C) statistics — one BN per tower, as in the
+      reference's per-tower MLPs
+    - ``mask`` ([B] or broadcastable to x.shape[:-1]) weights rows; padded
+      or unrouted rows then contribute nothing, matching the reference's
+      variable-size sub-batches without dynamic shapes
+    - a batch with a single (effective) row skips BN entirely when
+      ``skip_batch_1`` (layer.py:202-204, star.py:128-129)
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    skip_batch_1: bool = True
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False, mask=None):
+        if self.skip_batch_1 and x.shape[0] == 1 and mask is None:
+            # static-shape equivalent of the reference's bs==1 skip
+            return x
+
+        stat_shape = x.shape[1:]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(stat_shape))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(stat_shape))
+        n_tracked = self.variable(
+            "batch_stats", "num_batches_tracked", lambda: jnp.zeros((), jnp.int32)
+        )
+        scale = self.param("scale", tinit.ones_init, (stat_shape[-1],))
+        bias = self.param("bias", tinit.zeros_init, (stat_shape[-1],))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                n = jnp.asarray(x.shape[0], x.dtype)
+                mean = jnp.mean(x, axis=0)
+                var = jnp.mean(jnp.square(x - mean), axis=0)
+            else:
+                m = mask.astype(x.dtype)
+                m = m.reshape(m.shape + (1,) * (x.ndim - m.ndim))
+                w = jnp.broadcast_to(m, x.shape)
+                n = jnp.sum(w, axis=0)
+                n_safe = jnp.maximum(n, 1.0)
+                mean = jnp.sum(w * x, axis=0) / n_safe
+                var = jnp.sum(w * jnp.square(x - mean), axis=0) / n_safe
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                if mask is None:
+                    ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                    ra_var.value = (1 - m) * ra_var.value + m * unbiased
+                else:
+                    # only update stats where at least one row contributed
+                    has_rows = (n > 0).astype(x.dtype)
+                    ra_mean.value = ra_mean.value + m * has_rows * (mean - ra_mean.value)
+                    ra_var.value = ra_var.value + m * has_rows * (unbiased - ra_var.value)
+                n_tracked.value = n_tracked.value + 1
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean) * inv * scale + bias
+
+
+class MLP(nn.Module):
+    """MultiLayerPerceptron (layer.py:178-206): [Linear→BN→ReLU→Dropout]* [+ Linear(1)].
+
+    Also covers the reference's ``DNN`` (layer.py:238-300) via
+    ``output_layer=False`` — the two torch classes compute the same function.
+    """
+
+    layer_dims: Sequence[int]
+    dropout: float = 0.0
+    output_layer: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        for i, dim in enumerate(self.layer_dims):
+            x = Linear(dim, name=f"linear_{i}")(x)
+            if self.use_bn:
+                x = BatchNorm(name=f"bn_{i}")(x, use_running_average=not train, mask=mask)
+            x = jax.nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        if self.output_layer:
+            x = Linear(1, name="linear_out")(x)
+        return x
+
+
+class StackedMLP(nn.Module):
+    """A bank of per-tower/per-expert MLPs computed as batched einsums.
+
+    Replaces the reference's Python loops over ``nn.ModuleList`` of MLPs
+    (layer.py:40-56, mmoe.py:56-58, ple.py:97-116) with [T, in, out] weight
+    banks: tower_forward for all towers in one MXU pass.
+
+    Input [B, in] or [B, T, in]; output [B, T, out_dim] (out_dim=1 if
+    ``output_layer``).  ``mask`` may be [B] (shared) or [B, T] (per tower).
+    """
+
+    n_stack: int
+    layer_dims: Sequence[int]
+    dropout: float = 0.0
+    output_layer: bool = True
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, mask=None):
+        for i, dim in enumerate(self.layer_dims):
+            x = StackedLinear(self.n_stack, dim, name=f"linear_{i}")(x)
+            if self.use_bn:
+                x = BatchNorm(name=f"bn_{i}")(x, use_running_average=not train, mask=mask)
+            x = jax.nn.relu(x)
+            x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
+        if self.output_layer:
+            x = StackedLinear(self.n_stack, 1, name="linear_out")(x)
+        return x
+
+
+class FusedEmbedding(nn.Module):
+    """One fused embedding table over all categorical fields (layer.py:129-157).
+
+    ids[b, f] indexes row ``offsets[f] + ids[b, f]`` of a single
+    [sum(field_dims), embed_dim] table.  On a multi-chip mesh this table is
+    row-sharded over the model axis (see tpurec.parallel.sharding); the
+    lookup compiles to a sharded gather + collective under GSPMD.
+    """
+
+    field_dims: Tuple[int, ...]
+    embed_dim: int
+
+    def setup(self):
+        self.vocab_size = int(sum(self.field_dims))
+        self.field_num = len(self.field_dims)
+        offsets = np.concatenate([[0], np.cumsum(self.field_dims)[:-1]]).astype(np.int32)
+        self.offsets = jnp.asarray(offsets)
+        self.table = self.param(
+            "table", tinit.embedding_init, (self.vocab_size, self.embed_dim)
+        )
+
+    def __call__(self, ids, flatten: bool = False):
+        """ids: int [B, F] -> [B, F, D] (or [B, F*D] if flatten)."""
+        idx = ids.astype(jnp.int32) + self.offsets[None, :]
+        emb = jnp.take(self.table, idx, axis=0)
+        if flatten:
+            emb = emb.reshape(emb.shape[0], -1)
+        return emb
+
+
+class FeaturesLinear(nn.Module):
+    """First-order term: Linear(embed_output_dim -> 1) on flattened embeddings
+    (layer.py:115-126)."""
+
+    @nn.compact
+    def __call__(self, flat_embed):
+        return Linear(1, name="fc")(flat_embed)
+
+
+class GateNN(nn.Module):
+    """PEPNet gate: Linear→ReLU→[Dropout]→Linear→2*sigmoid (pepnet.py:137-155)."""
+
+    hidden_dim: int
+    output_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = Linear(self.hidden_dim, name="fc1")(x)
+        h = jax.nn.relu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = Linear(self.output_dim, name="fc2")(h)
+        return 2.0 * jax.nn.sigmoid(h)

@@ -1,0 +1,324 @@
+"""Feature-interaction ops (FM, cross networks, field attention).
+
+TPU-first re-designs of the interaction layers in model/layer.py:
+
+- :class:`FactorizationMachine` — layer.py:160-175
+- :class:`CrossNetwork` (DCN v1) — layer.py:303-329
+- :class:`CrossNetV2` — layer.py:332-343
+- :class:`CrossNetMix` (DCN-v2 low-rank MoE cross) — layer.py:346-407,
+  with the per-expert Python loop collapsed into expert-batched einsums
+- :class:`FieldMultiHeadAttention` / :class:`FieldAttention` — the AutoInt
+  field-axis self-attention stack (autoint.py:48-65, layer.py:58-84)
+
+Plus the reference's additional interaction ops for layer-library parity
+(layer.py:446-606): InnerProductNetwork, OuterProductNetwork,
+AttentionalFactorizationMachine, CompressedInteractionNetwork, AnovaKernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurec.nn import initializers as tinit
+from tpurec.nn.core import Linear
+
+
+class FactorizationMachine(nn.Module):
+    """0.5 * ((sum_f v_f)^2 - sum_f v_f^2), optionally reduced over embed dim."""
+
+    reduce_sum: bool = True
+
+    def __call__(self, x):
+        # x: [B, F, D]
+        square_of_sum = jnp.square(jnp.sum(x, axis=1))
+        sum_of_square = jnp.sum(jnp.square(x), axis=1)
+        ix = square_of_sum - sum_of_square
+        if self.reduce_sum:
+            ix = jnp.sum(ix, axis=1, keepdims=True)
+        return 0.5 * ix
+
+
+class CrossNetwork(nn.Module):
+    """DCN-v1 cross stack: x_{l+1} = x0 * (x_l . w_l) + b_l + x_l."""
+
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        x0 = x
+        for i in range(self.num_layers):
+            w = self.param(f"w_{i}", tinit.linear_weight_init(in_dim), (in_dim, 1))
+            b = self.param(f"b_{i}", tinit.zeros_init, (in_dim,))
+            xw = jnp.einsum("bi,io->bo", x, w, preferred_element_type=jnp.float32)
+            x = x0 * xw + b + x
+        return x
+
+
+class CrossNetV2(nn.Module):
+    """Full-matrix cross: x_{l+1} = x0 * (W_l x_l) + b_l + x_l."""
+
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        x0 = x
+        for i in range(self.num_layers):
+            w = self.param(f"w_{i}", tinit.linear_weight_init(in_dim), (in_dim, in_dim))
+            b = self.param(f"b_{i}", tinit.zeros_init, (in_dim,))
+            x = x0 * jnp.einsum("bi,io->bo", x, w, preferred_element_type=jnp.float32) + b + x
+        return x
+
+
+class CrossNetMix(nn.Module):
+    """DCN-v2 mixture-of-low-rank-experts cross (layer.py:346-407).
+
+    Per layer l and expert e:
+        v = tanh(V[l,e]^T x);  v = tanh(C[l,e] v);  uv = U[l,e] v
+        out_e = x0 * (uv + bias[l]);   gate_e = x . g_e  (gates shared
+        across layers, layer.py:367)
+        x <- sum_e out_e * softmax_e(gate) + x
+
+    The reference's per-expert Python loop (layer.py:378-398) is one
+    expert-batched einsum chain here.
+    """
+
+    num_layers: int = 2
+    low_rank: int = 32
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        E, r = self.num_experts, self.low_rank
+        # gates are shared across layers (layer.py:367), bias is per layer
+        g = self.param("gating", tinit.linear_weight_init(in_dim), (E, in_dim))
+        x0 = x
+        for i in range(self.num_layers):
+            u = self.param(f"u_{i}", tinit.xavier_normal_init(), (E, in_dim, r))
+            v = self.param(f"v_{i}", tinit.xavier_normal_init(), (E, in_dim, r))
+            c = self.param(f"c_{i}", tinit.xavier_normal_init(), (E, r, r))
+            bias = self.param(f"bias_{i}", tinit.zeros_init, (in_dim,))
+
+            gate = jnp.einsum("bi,ei->be", x, g, preferred_element_type=jnp.float32)
+            vx = jnp.tanh(jnp.einsum("bi,eir->ber", x, v, preferred_element_type=jnp.float32))
+            cv = jnp.tanh(jnp.einsum("ber,eqr->beq", vx, c, preferred_element_type=jnp.float32))
+            uv = jnp.einsum("beq,eiq->bei", cv, u, preferred_element_type=jnp.float32)
+            expert_out = x0[:, None, :] * (uv + bias[None, None, :])  # [B, E, in]
+            mix = jnp.einsum(
+                "bei,be->bi", expert_out, jax.nn.softmax(gate, axis=1),
+                preferred_element_type=jnp.float32,
+            )
+            x = mix + x
+        return x
+
+
+def _xavier_uniform_2d(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class FieldMultiHeadAttention(nn.Module):
+    """Self-attention over the field axis (torch nn.MultiheadAttention semantics).
+
+    Input [B, F, A] -> output [B, F, A].  in_proj is one [A, 3A]
+    xavier-uniform weight (+zero bias), out_proj torch-Linear init with zero
+    bias, dropout applied to the attention weights, matching
+    torch.nn.MultiheadAttention defaults (autoint.py:39-41).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, F, A = x.shape
+        H = self.num_heads
+        assert A % H == 0, "embed dim must divide heads"
+        hd = A // H
+        w_in = self.param("in_proj_weight", lambda k, s: _xavier_uniform_2d(k, (s[0], s[1])), (A, 3 * A))
+        b_in = self.param("in_proj_bias", tinit.zeros_init, (3 * A,))
+        qkv = jnp.einsum("bfa,ac->bfc", x, w_in, preferred_element_type=jnp.float32) + b_in
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, F, H, hd).transpose(0, 2, 1, 3)  # [B, H, F, hd]
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhfd,bhgd->bhfg", q, k, preferred_element_type=jnp.float32)
+        scores = scores / math.sqrt(hd)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhfg,bhgd->bhfd", attn, v, preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, F, A)
+        w_out = self.param("out_proj_weight", tinit.linear_weight_init(A), (A, A))
+        b_out = self.param("out_proj_bias", tinit.zeros_init, (A,))
+        return jnp.einsum("bfa,ao->bfo", out, w_out, preferred_element_type=jnp.float32) + b_out
+
+
+class FieldAttention(nn.Module):
+    """AutoInt attention stack: project fields to atten dim, N MHA layers,
+    optional V_res residual, ReLU, flatten (autoint.py:48-61, layer.py:71-84).
+
+    Input: field embeddings [B, F, D]; output [B, F*atten_embed_dim].
+    """
+
+    atten_embed_dim: int
+    att_layer_num: int = 3
+    att_head_num: int = 2
+    att_res: bool = True
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, embed_x, train: bool = False):
+        B, F, D = embed_x.shape
+        atten_x = Linear(self.atten_embed_dim, name="atten_embedding")(embed_x)
+        cross = atten_x
+        for i in range(self.att_layer_num):
+            cross = FieldMultiHeadAttention(
+                self.att_head_num, dropout=self.dropout, name=f"self_attn_{i}"
+            )(cross, train=train)
+        if self.att_res:
+            cross = cross + Linear(self.atten_embed_dim, name="V_res_embedding")(embed_x)
+        cross = jax.nn.relu(cross)
+        return cross.reshape(B, F * self.atten_embed_dim)
+
+
+# ---------------------------------------------------------------------------
+# Additional interaction ops for layer-library parity (layer.py:446-606).
+# Unused by the model zoo in the reference too, but part of its public layer
+# surface.
+# ---------------------------------------------------------------------------
+
+
+def _pair_indices(num_fields: int) -> Tuple[np.ndarray, np.ndarray]:
+    row, col = np.triu_indices(num_fields, k=1)
+    return row, col
+
+
+class InnerProductNetwork(nn.Module):
+    """Pairwise inner products of field embeddings (layer.py:446-457)."""
+
+    def __call__(self, x):
+        row, col = _pair_indices(x.shape[1])
+        return jnp.sum(x[:, row] * x[:, col], axis=2)
+
+
+class OuterProductNetwork(nn.Module):
+    """Kernel-product pairwise interaction (layer.py:460-492)."""
+
+    num_fields: int
+    embed_dim: int
+    kernel_type: str = "mat"
+
+    @nn.compact
+    def __call__(self, x):
+        row, col = _pair_indices(self.num_fields)
+        num_ix = len(row)
+        if self.kernel_type == "mat":
+            kernel = self.param(
+                "kernel", lambda k, s: _xavier_uniform_3d(k, s), (self.embed_dim, num_ix, self.embed_dim)
+            )
+        elif self.kernel_type == "vec":
+            kernel = self.param("kernel", lambda k, s: _xavier_uniform_2d(k, s), (num_ix, self.embed_dim))
+        elif self.kernel_type == "num":
+            kernel = self.param("kernel", lambda k, s: _xavier_uniform_2d(k, s), (num_ix, 1))
+        else:
+            raise ValueError(f"unknown kernel type {self.kernel_type}")
+        p, q = x[:, row], x[:, col]  # [B, num_ix, D]
+        if self.kernel_type == "mat":
+            kp = jnp.einsum("bnd,dne->bne", p, kernel, preferred_element_type=jnp.float32)
+            return jnp.sum(kp * q, axis=-1)
+        return jnp.sum(p * q * kernel[None], axis=-1)
+
+
+def _xavier_uniform_3d(key, shape, dtype=jnp.float32):
+    # torch xavier_uniform_ on a 3D tensor: fan_in = shape[1]*shape[2],
+    # fan_out = shape[0]*shape[2]
+    receptive = shape[2]
+    fan_in, fan_out = shape[1] * receptive, shape[0] * receptive
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+class AttentionalFactorizationMachine(nn.Module):
+    """AFM attention-pooled pairwise interactions (layer.py:518-543)."""
+
+    attn_size: int
+    dropouts: Tuple[float, float] = (0.2, 0.2)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        row, col = _pair_indices(x.shape[1])
+        p, q = x[:, row], x[:, col]
+        inner = p * q  # [B, num_ix, D]
+        scores = jax.nn.relu(Linear(self.attn_size, name="attention")(inner))
+        scores = jax.nn.softmax(Linear(1, name="projection")(scores), axis=1)
+        scores = nn.Dropout(rate=self.dropouts[0], deterministic=not train)(scores)
+        out = jnp.sum(scores * inner, axis=1)
+        out = nn.Dropout(rate=self.dropouts[1], deterministic=not train)(out)
+        return Linear(1, name="fc")(out)
+
+
+class CompressedInteractionNetwork(nn.Module):
+    """xDeepFM CIN (layer.py:546-582)."""
+
+    input_dim: int  # num_fields
+    cross_layer_sizes: Sequence[int]
+    split_half: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, F, D]
+        xs = []
+        x0, h = x[:, :, None, :], x  # x0: [B, F, 1, D]
+        prev_dim = self.input_dim
+        num_layers = len(self.cross_layer_sizes)
+        for i in range(num_layers):
+            size = self.cross_layer_sizes[i]
+            z = x0 * h[:, None, :, :]  # [B, F0, Fin, D]
+            B, f0, fin, D = z.shape
+            z = z.reshape(B, f0 * fin, D)
+            # Conv1d(kernel=1) == pointwise linear over channel axis
+            w = self.param(
+                f"conv_w_{i}", tinit.linear_weight_init(f0 * fin), (f0 * fin, size)
+            )
+            b = self.param(f"conv_b_{i}", tinit.linear_bias_init(f0 * fin), (size,))
+            z = jax.nn.relu(
+                jnp.einsum("bcd,ce->bed", z, w, preferred_element_type=jnp.float32)
+                + b[None, :, None]
+            )
+            if self.split_half and i != num_layers - 1:
+                z, h = jnp.split(z, 2, axis=1)
+            else:
+                h = z
+            xs.append(z)
+            prev_dim = h.shape[1]
+        return jnp.sum(jnp.concatenate(xs, axis=1), axis=2)
+
+
+class AnovaKernel(nn.Module):
+    """Order-t ANOVA kernel via the DP recurrence (layer.py:585-606)."""
+
+    order: int
+    reduce_sum: bool = True
+
+    def __call__(self, x):
+        B, F, D = x.shape
+        a_prev = jnp.ones((B, F + 1, D), x.dtype)
+        for t in range(self.order):
+            a = jnp.zeros((B, F + 1, D), x.dtype)
+            a = a.at[:, t + 1:, :].add(x[:, t:, :] * a_prev[:, t:-1, :])
+            a = jnp.cumsum(a, axis=1)
+            a_prev = a
+        if self.reduce_sum:
+            return jnp.sum(a_prev[:, -1, :], axis=-1, keepdims=True)
+        return a_prev[:, -1, :]

@@ -1,0 +1,211 @@
+"""Training/eval harness.
+
+The reference's ``Run`` class (run.py:30-765) split into a reusable Trainer:
+epoch loop, weighted-mean-AUC early stopping with patience (run.py:440-468),
+best-checkpoint save/reload (run.py:447-459,758-760), and global +
+per-domain evaluation (run.py:647-711).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from tpurec.config import Config
+from tpurec.data.loader import ArrayBatcher
+from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
+from tpurec.models import MULTI_TOWER_OUTPUT, NEEDS_GROUP, build_model
+from tpurec.train.reg import reg_coef_tree
+from tpurec.train.step import TrainState, make_eval_step, make_train_step, make_optimizer
+
+
+class EarlyStopper:
+    """mean_auc-keyed early stopping with patience (run.py:440-468)."""
+
+    def __init__(self, patience: int):
+        self.patience = patience
+        self.trial_counter = 0
+        self.best_mean_auc = 0.0
+        self.best_result: Optional[Dict] = None
+
+    def is_continuable(self, result: Dict) -> bool:
+        key = "mean_auc" if result.get("mean_auc") is not None else "total_auc"
+        if result[key] > self.best_mean_auc:
+            self.trial_counter = 0
+            self.best_mean_auc = result[key]
+            self.best_result = result
+            return True
+        elif self.trial_counter + 1 < self.patience:
+            self.trial_counter += 1
+            return True
+        return False
+
+    @property
+    def improved(self) -> bool:
+        return self.trial_counter == 0
+
+
+class Trainer:
+    """Standard (non-CDC) training harness for the model zoo."""
+
+    def __init__(self, cfg: Config, field_dims, n_domain: int, domain_idx: int,
+                 domain2group=None, mesh=None, shardings=None):
+        self.cfg = cfg
+        self.n_domain = n_domain
+        self.domain_idx = domain_idx
+        name = cfg.model.model
+        if domain2group is None:
+            domain2group = np.zeros(n_domain, np.int32)
+        self.domain2group = np.asarray(domain2group, np.int32)
+        if name in ("cdc",):
+            raise ValueError("use tpurec.cdc.CDCTrainer for CDC")
+        if name in ("adl", "adl-split"):
+            # run.py:43: adl's n_tower = n_cluster; adl-split uses the grouping
+            n_tower = cfg.cdc.n_cluster if name == "adl" else int(self.domain2group.max()) + 1
+        else:
+            n_tower = int(self.domain2group.max()) + 1
+        self.n_tower = n_tower
+        self.model = build_model(name, field_dims, n_tower, domain_idx, cfg.model)
+        self.multi_tower = name in MULTI_TOWER_OUTPUT and not name.endswith("-single")
+        self.mesh = mesh
+        self.shardings = shardings
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        dummy = jnp.zeros((2, len(field_dims)), jnp.int32)
+        dummy_group = jnp.zeros((2,), jnp.int32)
+        variables = self.model.init(rng, dummy, group=dummy_group)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        self.mutable_keys = tuple(model_state.keys())
+
+        self.reg_coefs = reg_coef_tree(
+            params, name,
+            cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
+        )
+        tx = make_optimizer(cfg.train)
+        self.state = TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            model_state=model_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+        if mesh is not None and shardings is not None:
+            self.state = jax.device_put(self.state, shardings.state_sharding(self.state))
+        self.train_step, self.tx = make_train_step(
+            self.model, cfg.train, self.reg_coefs, self.multi_tower,
+            self.mutable_keys, optimizer=tx,
+        )
+        self.eval_step = make_eval_step(self.model, self.multi_tower)
+        self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.stopper = EarlyStopper(cfg.train.early_stop)
+        self._best_bytes: Optional[bytes] = None
+
+    # ------------------------------------------------------------------
+    def _group_of(self, X: np.ndarray) -> np.ndarray:
+        return self.domain2group[X[:, self.domain_idx]]
+
+    def train_epoch(self, X: np.ndarray, y: np.ndarray, epoch_i: int,
+                    log_fn=None) -> float:
+        bs = self.cfg.train.bs
+        batcher = ArrayBatcher(
+            X, y, bs, group=self._group_of(X), shuffle=True,
+            rng=np.random.default_rng(self.cfg.train.seed + epoch_i),
+        )
+        loss_sum, n_batches = 0.0, 0
+        log_interval = max(1, self.cfg.train.log_interval_rows // bs)
+        for i, batch in enumerate(batcher):
+            self.dropout_rng, step_rng = jax.random.split(self.dropout_rng)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, loss = self.train_step(self.state, batch, step_rng)
+            loss_sum += float(loss)
+            n_batches += 1
+            if log_fn is not None and (i + 1) % log_interval == 0:
+                log_fn({"train_loss": loss_sum / n_batches, "epoch": epoch_i, "it": i})
+        return loss_sum / max(n_batches, 1)
+
+    def evaluate(self, X: np.ndarray, y: np.ndarray,
+                 domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
+        bs = self.cfg.train.bs
+        batcher = ArrayBatcher(X, y, bs, group=self._group_of(X), shuffle=False)
+        preds = []
+        for batch in batcher:
+            mask = batch["mask"]
+            p = self.eval_step(
+                self.state.params, self.state.model_state,
+                {k: jnp.asarray(v) for k, v in batch.items()},
+            )
+            preds.append(np.asarray(p)[mask > 0])
+        predicts = np.concatenate(preds)
+        targets = y.reshape(-1)
+        result = {
+            "total_auc": auc_score(targets, predicts),
+            "total_loss": log_loss_score(targets, predicts),
+        }
+        if self.cfg.train.is_evaluate_multi_domain and domain_cnt_weight is not None:
+            result.update(
+                evaluate_multi_domain(
+                    targets, predicts, X[:, self.domain_idx], domain_cnt_weight
+                )
+            )
+        return result
+
+    # ------------------------------------------------------------------
+    def snapshot(self) -> bytes:
+        return flax.serialization.to_bytes(self.state)
+
+    def restore(self, blob: bytes):
+        self.state = flax.serialization.from_bytes(self.state, blob)
+
+    def save_checkpoint(self, path: str, extra: Optional[Dict] = None):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "state": self.snapshot(),
+            "best_result": self.stopper.best_result,
+            "config_model": self.cfg.model.model,
+            "extra": extra or {},
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str) -> Dict:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.restore(payload["state"])
+        return payload
+
+    # ------------------------------------------------------------------
+    def fit(self, train, valid, test=None, domain_cnt_weight=None, log_fn=None) -> Dict:
+        """Epoch loop with early stop + best-state reload (run.py:746-764)."""
+        Xtr, ytr = train
+        Xva, yva = valid
+        if domain_cnt_weight is None:
+            cnt = np.bincount(Xtr[:, self.domain_idx], minlength=self.n_domain)
+            domain_cnt_weight = cnt / cnt.sum()
+        for epoch_i in range(self.cfg.train.epoch):
+            t0 = time.time()
+            train_loss = self.train_epoch(Xtr, ytr, epoch_i, log_fn=log_fn)
+            result = self.evaluate(Xva, yva, domain_cnt_weight)
+            result["epoch"] = epoch_i
+            result["train_loss"] = train_loss
+            result["epoch_seconds"] = time.time() - t0
+            if log_fn is not None:
+                log_fn(result)
+            cont = self.stopper.is_continuable(result)
+            if self.stopper.improved:
+                self._best_bytes = self.snapshot()
+            if not cont:
+                break
+        if self._best_bytes is not None:
+            self.restore(self._best_bytes)
+        out = {"valid": self.stopper.best_result}
+        if test is not None:
+            out["test"] = self.evaluate(test[0], test[1], domain_cnt_weight)
+        return out

@@ -1,0 +1,136 @@
+"""Jitted train/eval steps.
+
+The hot loop (reference run.py:476-492) as a single donated jit:
+forward -> tower select -> masked BCE + precomputed-reg L2 -> Adam update.
+
+Optimizer matches run.py:720-723: Adam(lr, betas=(0.9,0.99), eps=1e-8,
+weight_decay=wd) — torch applies weight decay to the gradient *before* the
+moment update, i.e. optax.add_decayed_weights placed before scale_by_adam.
+Loss matches BCELoss on sigmoid outputs, computed stably from logits.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpurec.config import TrainConfig
+from tpurec.train.reg import regularization_loss
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    model_state: Any          # batch_stats / adl_state collections
+    step: jnp.ndarray
+
+    def replace_params(self, params):
+        return self.replace(params=params)
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.add_decayed_weights(tcfg.wd),
+        optax.scale_by_adam(b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps),
+        optax.scale(-tcfg.lr),
+    )
+
+
+def bce_with_logits(logits, targets, weights=None):
+    """mean BCE; == BCELoss(sigmoid(logits)) (run.py:723) but stable."""
+    losses = optax.sigmoid_binary_cross_entropy(logits, targets)
+    if weights is None:
+        return jnp.mean(losses)
+    w = weights.astype(losses.dtype)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def bce_on_probs(probs, targets, weights=None, eps: float = 1e-7):
+    """BCE on probabilities (needed by CDC warmup's tower-prob mean,
+    cdc.py:99-102 + run.py:617)."""
+    p = jnp.clip(probs, eps, 1.0 - eps)
+    losses = -(targets * jnp.log(p) + (1.0 - targets) * jnp.log1p(-p))
+    if weights is None:
+        return jnp.mean(losses)
+    w = weights.astype(losses.dtype)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def select_tower(logits, group):
+    """[B, T] logits + [B] group -> [B] (run.py:484 pred.gather(1, group))."""
+    if logits.ndim == 1:
+        return logits
+    return jnp.take_along_axis(logits, group[:, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+def make_train_step(
+    model,
+    tcfg: TrainConfig,
+    reg_coefs,
+    multi_tower: bool,
+    mutable_keys,
+    optimizer: Optional[optax.GradientTransformation] = None,
+):
+    """Build the jitted train step for a zoo model.
+
+    batch: dict(x=[B,F] int32, y=[B] f32, group=[B] int32, mask=[B] f32).
+    Masked rows (padding) are excluded from the loss and from BN statistics.
+    """
+    tx = optimizer if optimizer is not None else make_optimizer(tcfg)
+    mutable_keys = tuple(mutable_keys)
+
+    def loss_fn(params, model_state, batch, rng):
+        out, new_state = model.apply(
+            {"params": params, **model_state},
+            batch["x"],
+            group=batch.get("group"),
+            train=True,
+            row_mask=batch.get("mask"),
+            mutable=list(mutable_keys),
+            rngs={"dropout": rng},
+        )
+        logit = select_tower(out, batch["group"]) if multi_tower else out
+        loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+        loss = loss + regularization_loss(params, reg_coefs)
+        return loss, new_state
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(ts: TrainState, batch, rng):
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.model_state, batch, rng
+        )
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return (
+            ts.replace(
+                params=new_params,
+                opt_state=new_opt,
+                model_state=new_state,
+                step=ts.step + 1,
+            ),
+            loss,
+        )
+
+    return train_step, tx
+
+
+def make_eval_step(model, multi_tower: bool):
+    """Jitted eval: probabilities per row (group tower selected)."""
+
+    @jax.jit
+    def eval_step(params, model_state, batch):
+        out = model.apply(
+            {"params": params, **model_state},
+            batch["x"],
+            group=batch.get("group"),
+            train=False,
+        )
+        logit = select_tower(out, batch["group"]) if multi_tower else out
+        return jax.nn.sigmoid(logit)
+
+    return eval_step
