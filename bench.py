@@ -1,0 +1,120 @@
+"""Benchmark: flagship-model training throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config: MMoE (the CDC base architecture) at reference hyperparameters
+(embed_dim=16, bs=512, expert_dims=(256,128,64), tower_dims=(64,32),
+aux attention head ON — /root/reference/config.py:12-36,24), Ali-CCP-like
+schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
+(config.py:7) and 50 domains.  Measures steady-state examples/sec/chip of
+the donated jitted train step with data pre-staged on device.
+
+The reference repo publishes no benchmark numbers (README.md:1-2,
+BASELINE.md), so vs_baseline compares against the previous round's
+BENCH_r*.json when present, else 1.0.
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+FIELD_DIMS = (
+    250000, 10, 10, 10, 10, 10, 10, 10, 10,   # user + 8 user-profile cats
+    1368287,                                   # itemid (config.py:7)
+    50,                                        # domain
+    5000, 400, 3000, 80, 80, 60, 30, 12, 12, 12, 12, 4,  # item/context cats
+)
+DOMAIN_IDX = 10
+N_TOWER = 4
+BS = 512
+WARMUP, MEASURE = 5, 50
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tpurec.config import Config, ModelConfig, TrainConfig
+    from tpurec.models import build_model
+    from tpurec.train.reg import reg_coef_tree
+    from tpurec.train.step import TrainState, make_optimizer, make_train_step
+
+    mcfg = ModelConfig(
+        model="mmoe", embed_dim=16,
+        mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
+        use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
+    )
+    tcfg = TrainConfig(bs=BS)
+    model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
+
+    rng = np.random.default_rng(0)
+    n_pool = 8  # distinct device-resident batches, cycled
+    xs = np.stack(
+        [rng.integers(0, d, size=(n_pool, BS)) for d in FIELD_DIMS], axis=2
+    ).astype(np.int32)
+    batches = []
+    for i in range(n_pool):
+        batches.append({
+            "x": jnp.asarray(xs[i]),
+            "y": jnp.asarray(rng.integers(0, 2, BS).astype(np.float32)),
+            "group": jnp.asarray((xs[i][:, DOMAIN_IDX] % N_TOWER).astype(np.int32)),
+            "mask": jnp.ones((BS,), jnp.float32),
+        })
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0]["x"])
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
+    tx = make_optimizer(tcfg)
+    state = TrainState(
+        params=params, opt_state=tx.init(params),
+        model_state=model_state, step=jnp.zeros((), jnp.int32),
+    )
+    train_step, _ = make_train_step(
+        model, tcfg, reg, multi_tower=True,
+        mutable_keys=tuple(model_state.keys()), optimizer=tx,
+    )
+    step_rng = jax.random.PRNGKey(1)
+
+    for i in range(WARMUP):
+        step_rng, r = jax.random.split(step_rng)
+        state, loss = train_step(state, batches[i % n_pool], r)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE):
+        step_rng, r = jax.random.split(step_rng)
+        state, loss = train_step(state, batches[i % n_pool], r)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    eps = BS * MEASURE / dt
+    prev = _previous_round_value()
+    vs = eps / prev if prev else 1.0
+    print(json.dumps({
+        "metric": "mmoe_train_examples_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+def _previous_round_value():
+    vals = []
+    for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(f))
+            if rec.get("unit") == "examples/sec/chip":
+                vals.append(float(rec["value"]))
+        except Exception:
+            pass
+    return vals[-1] if vals else None
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,456 @@
+"""CDC training engine: counterfactual matrix population + clustered training.
+
+The device-heavy half of CDC (reference run.py:528-645), re-designed for
+TPU:
+
+- **Snapshot/rollback**: the reference deep-copies the base model's
+  state_dict and restores it after each treatment burst (cdc.py:343-354);
+  here the snapshot is a device-side copy of (params, model_state).  The
+  optimizer's Adam moments are intentionally NOT rolled back, preserving the
+  reference's asymmetry (save_model_state filters to base_model_instance
+  only — SURVEY.md §7 hard part 1).
+- **Fixed shapes**: single-domain steps run on [bs] batches; multi-domain
+  treatment steps on [chunk*bs] super-batches padded+masked
+  (run.py:519-526 concatenates up to 7 domain batches per step); the
+  eval-on-all-domains pass stacks one batch per domain into ONE
+  [n_domain*bs] jitted call (the reference loops n_domain separate
+  evaluations, run.py:550-558).
+- **Warmup mode**: loss on the MEAN OF TOWER PROBABILITIES
+  (cdc.py:99-102 — sigmoid before averaging), split mode: per-row tower
+  selected by domain2group[domain] (cdc.py:103-111), with domain2group as a
+  device argument so regrouping never recompiles.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.serialization
+
+from tpurec.config import Config
+from tpurec.cdc.algorithm import CDCClusterState, update_group
+from tpurec.data.loader import DomainBatcher, pad_batch
+from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
+from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
+from tpurec.train.loop import EarlyStopper
+from tpurec.train.reg import reg_coef_tree, regularization_loss
+from tpurec.train.step import TrainState, bce_on_probs, bce_with_logits, make_optimizer
+
+
+class CDCTrainer:
+    """CDC harness (reference Run.train_cdc/update_matrix_cdc + CDC module)."""
+
+    def __init__(self, cfg: Config, field_dims, n_domain: int, domain_idx: int):
+        assert cfg.cdc.base_model in CDC_BASE_MODELS, cfg.cdc.base_model
+        self.cfg = cfg
+        self.n_domain = n_domain
+        self.domain_idx = domain_idx
+        self.n_cluster = cfg.cdc.n_cluster
+
+        # base model with n_tower = n_cluster (run.py:43).  CDC passes
+        # expert_dims=mlp_dims and tower_dims=cdc_tower_dims into the base
+        # (run.py:424-425); for PLE the reference would feed flat mlp_dims
+        # into PLE's nested expert_dims and crash (cdc.py:38 + ple.py:36) —
+        # we keep PLE's own nested expert dims (documented divergence).
+        import dataclasses
+
+        base_cfg = dataclasses.replace(
+            cfg.model,
+            mmoe_expert_dims=cfg.model.mlp_dims,
+            mmoe_tower_dims=cfg.cdc.cdc_tower_dims,
+            ple_tower_dims=cfg.cdc.cdc_tower_dims,
+            tower_dims=cfg.cdc.cdc_tower_dims,
+        )
+        self.model = build_model(
+            cfg.cdc.base_model, field_dims, self.n_cluster, domain_idx, base_cfg
+        )
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        dummy = jnp.zeros((2, len(field_dims)), jnp.int32)
+        variables = jax.jit(self.model.init)(rng, dummy)
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        self.mutable_keys = tuple(model_state.keys())
+        self.reg_coefs = reg_coef_tree(
+            params, cfg.cdc.base_model,
+            cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
+        )
+        self.tx = make_optimizer(cfg.train)
+        self.state = TrainState(
+            params=params, opt_state=self.tx.init(params),
+            model_state=model_state, step=jnp.zeros((), jnp.int32),
+        )
+        self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.np_rng = np.random.default_rng(cfg.train.seed)
+        self.stopper = EarlyStopper(cfg.train.early_stop)
+        self._best_bytes = None
+        self._snapshot = None
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _build_steps(self):
+        model, cfg = self.model, self.cfg
+        reg_coefs, tx = self.reg_coefs, self.tx
+        mutable = list(self.mutable_keys)
+        domain_idx = self.domain_idx
+
+        def forward_train(params, model_state, batch, rng, mode, domain2group):
+            out, new_state = model.apply(
+                {"params": params, **model_state},
+                batch["x"],
+                train=True,
+                row_mask=batch.get("mask"),
+                mutable=mutable,
+                rngs={"dropout": rng},
+            )
+            if mode == "warmup":
+                # mean of tower probabilities (cdc.py:99-102)
+                probs = jnp.mean(jax.nn.sigmoid(out), axis=1)
+                loss = bce_on_probs(probs, batch["y"], batch.get("mask"))
+            else:
+                groups = domain2group[batch["x"][:, domain_idx]]
+                logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+                loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+            loss = loss + regularization_loss(params, reg_coefs)
+            return loss, new_state
+
+        import optax
+
+        def step(ts: TrainState, batch, rng, domain2group, mode):
+            (loss, new_state), grads = jax.value_and_grad(
+                forward_train, has_aux=True
+            )(ts.params, ts.model_state, batch, rng, mode, domain2group)
+            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+            new_params = optax.apply_updates(ts.params, updates)
+            return ts.replace(
+                params=new_params, opt_state=new_opt,
+                model_state=new_state, step=ts.step + 1,
+            ), loss
+
+        self._warmup_step = jax.jit(
+            partial(step, mode="warmup"), donate_argnums=(0,)
+        )
+        self._split_step = jax.jit(
+            partial(step, mode="split"), donate_argnums=(0,)
+        )
+
+        @jax.jit
+        def eval_all_domains(params, model_state, xs, ys, masks, domain2group):
+            """One [n_domain*bs] forward; per-domain BCE on probabilities
+            (cdc_test_all_domain, run.py:550-558 + cdc.py:113-116).
+
+            xs: [D, bs, F], ys/masks: [D, bs] -> [D] loss vector."""
+            D, bs, F = xs.shape
+            out = model.apply(
+                {"params": params, **model_state},
+                xs.reshape(D * bs, F),
+                train=False,
+            )
+            groups = domain2group[xs.reshape(D * bs, F)[:, domain_idx]]
+            logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+            probs = jax.nn.sigmoid(logit).reshape(D, bs)
+            p = jnp.clip(probs, 1e-7, 1 - 1e-7)
+            losses = -(ys * jnp.log(p) + (1 - ys) * jnp.log1p(-p))
+            return jnp.sum(losses * masks, axis=1) / jnp.maximum(
+                jnp.sum(masks, axis=1), 1.0
+            )
+
+        self._eval_all_domains = eval_all_domains
+
+        @jax.jit
+        def predict_split(params, model_state, batch, domain2group):
+            out = model.apply(
+                {"params": params, **model_state}, batch["x"], train=False
+            )
+            groups = domain2group[batch["x"][:, domain_idx]]
+            return jax.nn.sigmoid(
+                jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+            )
+
+        self._predict_split = predict_split
+
+    # ------------------------------------------------------------------
+    # snapshot / rollback (cdc.py:343-354): params + model buffers, NOT opt
+    def save_model_state(self):
+        self._snapshot = (
+            jax.tree_util.tree_map(jnp.copy, self.state.params),
+            jax.tree_util.tree_map(jnp.copy, self.state.model_state),
+        )
+
+    def load_model_state(self):
+        p, s = self._snapshot
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jnp.copy, p),
+            model_state=jax.tree_util.tree_map(jnp.copy, s),
+        )
+
+    # ------------------------------------------------------------------
+    def setup_data(self, train, valid=None, test=None):
+        Xtr, ytr = train
+        self.train_batcher = DomainBatcher(
+            Xtr, ytr, self.domain_idx, self.n_domain, self.cfg.train.bs,
+            rng=np.random.default_rng(self.cfg.train.seed + 10),
+        )
+        self.domain_cnt_weight = self.train_batcher.domain_cnt_weight
+        self.valid_batcher = (
+            DomainBatcher(
+                valid[0], valid[1], self.domain_idx, self.n_domain,
+                self.cfg.train.bs, rng=np.random.default_rng(self.cfg.train.seed + 11),
+            )
+            if valid is not None else None
+        )
+        self.test_batcher = (
+            DomainBatcher(
+                test[0], test[1], self.domain_idx, self.n_domain,
+                self.cfg.train.bs, rng=np.random.default_rng(self.cfg.train.seed + 12),
+            )
+            if test is not None else None
+        )
+        self.cluster = CDCClusterState.create(self.n_domain, self.n_cluster, self.cfg.cdc)
+
+    @property
+    def domain2group_dev(self):
+        return jnp.asarray(self.cluster.domain2group, jnp.int32)
+
+    # ------------------------------------------------------------------
+    def _train_one(self, d: int):
+        """One split-mode step on one domain batch (run.py:635-640)."""
+        batch = self.train_batcher.next_padded(d)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+        self.state, loss = self._split_step(
+            self.state, batch, rng, self.domain2group_dev
+        )
+        return loss
+
+    def _train_burst(self, domains, k: int):
+        """k repetitions over a domain (or domain set) with rollbackable
+        weights (cdc_train_update_with_domain, run.py:529-548): an int
+        domain trains k single-domain steps; a list trains on chunks of
+        ``group_chunk_size`` domains concatenated per step."""
+        chunk = self.cfg.cdc.group_chunk_size
+        if isinstance(domains, (int, np.integer)):
+            for _ in range(k):
+                self._train_one(int(domains))
+            return
+        tmp = list(domains) * k
+        for i in range(0, len(tmp), chunk):
+            part = tmp[i : i + chunk]
+            batch = self.train_batcher.next_multi(part, chunk)
+            batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
+            self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+            self.state, _ = self._split_step(
+                self.state, batch, rng, self.domain2group_dev
+            )
+
+    def _eval_matrix_row(self) -> np.ndarray:
+        """Loss on one train-stream batch of every domain, one jitted call
+        (run.py:550-558; batches come from the TRAIN stream, run.py:555)."""
+        bs = self.cfg.train.bs
+        xs = np.zeros((self.n_domain, bs, self.train_batcher.dom_X[0].shape[1]), np.int32)
+        ys = np.zeros((self.n_domain, bs), np.float32)
+        masks = np.zeros((self.n_domain, bs), np.float32)
+        for d in range(self.n_domain):
+            X, y = self.train_batcher.next_batch(d)
+            n = len(y)
+            if n == 0:
+                continue
+            xs[d, :n] = X
+            xs[d, n:] = X[:1] if n else 0
+            ys[d, :n] = y
+            masks[d, :n] = 1.0
+        row = self._eval_all_domains(
+            self.state.params, self.state.model_state,
+            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
+            self.domain2group_dev,
+        )
+        return np.asarray(row, np.float64)
+
+    # ------------------------------------------------------------------
+    def update_matrix_cdc(self, update_matrix_step: int):
+        """Populate matrix_mask/A/B via perturb-train-eval-rollback loops
+        (run.py:528-594), then re-cluster."""
+        st = self.cluster
+        cfg = self.cfg.cdc
+        self.save_model_state()
+
+        # treatment (causal-mask) rows (run.py:563-569)
+        for line_i in range(cfg.n_causal_mask):
+            size = int(self.np_rng.integers(5, max(self.n_domain, 6)))
+            treat = self.np_rng.choice(
+                self.n_domain, p=self.domain_cnt_weight, size=size
+            )
+            self._train_burst(list(treat), update_matrix_step)
+            st.matrix_mask[line_i] = self._eval_matrix_row()
+            self.load_model_state()
+
+        # matrix A: warm baseline + train-on-one rows (run.py:571-577)
+        st.matrix_A[self.n_domain] = self._eval_matrix_row()
+        for d in range(self.n_domain):
+            self._train_burst(int(d), update_matrix_step)
+            st.matrix_A[d] = self._eval_matrix_row()
+            self.load_model_state()
+
+        # matrix B: leave-one-out rows + per-cluster rows (run.py:579-592).
+        # Cluster rows train on ALL domains of cluster c — the reference's
+        # intended semantics (cdc.py:80 comment); run.py:587 actually indexes
+        # domain2group_list[c] (a single scrambled domain id), which we treat
+        # as a bug and do not reproduce.
+        d2g = st.domain2group_list
+        n_rows = (
+            self.n_domain + self.n_cluster if max(d2g) > 0 else self.n_domain + 1
+        )
+        for d_i in range(n_rows):
+            if d_i >= self.n_domain:
+                c = d_i - self.n_domain
+                train_domains = list(st.t_group2domain_list[c]) if max(d2g) > 0 else list(
+                    range(self.n_domain)
+                )
+            else:
+                train_domains = [
+                    d for d in st.s_group2domain_list[d2g[d_i]] if d != d_i
+                ]
+            if train_domains:
+                self._train_burst(train_domains, update_matrix_step)
+            st.matrix_B[d_i] = self._eval_matrix_row()
+            self.load_model_state()
+
+        update_group(
+            st, cfg, self.domain_cnt_weight, kmeans_seed=int(self.np_rng.integers(2**31))
+        )
+        if cfg.save_matrix_artifacts:
+            self._dump_matrices()
+
+    def _dump_matrices(self, out_dir: Optional[str] = None):
+        """Persist A/B/mask/causal matrices (cdc.py:395-426's xlsx/png dump,
+        as csv + optional png)."""
+        st = self.cluster
+        out_dir = out_dir or os.path.join(
+            self.cfg.train.save_path, "cdc_matrices"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        k = st.call_update_group
+        for name, m in (
+            ("matrix_A", st.matrix_A), ("matrix_B", st.matrix_B),
+            ("matrix_mask", st.matrix_mask), ("causal_matrix", st.matrix_causal),
+        ):
+            np.savetxt(os.path.join(out_dir, f"{name}_step{k}.csv"), m, delimiter=",")
+
+    # ------------------------------------------------------------------
+    def train_cdc_epoch(self, epoch_i: int, log_fn=None) -> float:
+        """One CDC epoch (run.py:596-645)."""
+        tcfg, ccfg = self.cfg.train, self.cfg.cdc
+        warmup_step = max(5, (ccfg.warmup_step * 1024) // tcfg.bs)
+        update_matrix_step = (
+            max(1, (ccfg.update_matrix_step * 1024) // tcfg.bs)
+            if ccfg.update_matrix_step != 0 else 0
+        )
+        update_interval = (ccfg.update_interval * 1024) // tcfg.bs
+
+        if epoch_i == 0:
+            for _ in range(warmup_step):
+                d = int(self.np_rng.choice(self.n_domain, p=self.domain_cnt_weight))
+                batch = self.train_batcher.next_padded(d)
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+                self.state, _ = self._warmup_step(
+                    self.state, batch, rng, self.domain2group_dev
+                )
+
+        loss_sum, n_steps = 0.0, 0
+        seq = self.train_batcher.epoch_seq()
+        for i, d in enumerate(seq):
+            if (epoch_i == 0 and i == 0) or ((i + 1) % max(update_interval, 1) == 0):
+                t0 = time.time()
+                self.update_matrix_cdc(update_matrix_step)
+                if log_fn:
+                    log_fn({
+                        "cdc_update_seconds": time.time() - t0,
+                        "domain2group": self.cluster.domain2group_list,
+                    })
+            loss = self._train_one(int(d))
+            loss_sum += float(loss)
+            n_steps += 1
+        return loss_sum / max(n_steps, 1)
+
+    # ------------------------------------------------------------------
+    def evaluate(self, batcher: DomainBatcher) -> Dict:
+        """Split-mode eval over the per-domain batch sequence (run.py:653-661)."""
+        targets, predicts, domains = [], [], []
+        for d in range(self.n_domain):
+            X = batcher.dom_X[d]
+            y = batcher.dom_y[d]
+            bs = self.cfg.train.bs
+            for s in range(0, len(y), bs):
+                batch = pad_batch(X[s:s + bs], y[s:s + bs], None, bs)
+                p = self._predict_split(
+                    self.state.params, self.state.model_state,
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                    self.domain2group_dev,
+                )
+                m = batch["mask"] > 0
+                predicts.append(np.asarray(p)[m])
+                targets.append(y[s:s + bs])
+                domains.append(np.full(int(m.sum()), d))
+        targets = np.concatenate(targets)
+        predicts = np.concatenate(predicts)
+        domains = np.concatenate(domains)
+        result = {
+            "total_auc": auc_score(targets, predicts),
+            "total_loss": log_loss_score(targets, predicts),
+        }
+        result.update(
+            evaluate_multi_domain(targets, predicts, domains, self.domain_cnt_weight)
+        )
+        return result
+
+    # ------------------------------------------------------------------
+    def snapshot_bytes(self) -> bytes:
+        return flax.serialization.to_bytes(self.state)
+
+    def restore_bytes(self, blob: bytes):
+        self.state = flax.serialization.from_bytes(self.state, blob)
+
+    def fit(self, train, valid, test=None, log_fn=None) -> Dict:
+        self.setup_data(train, valid, test)
+        best_cluster = None
+        for epoch_i in range(self.cfg.train.epoch):
+            t0 = time.time()
+            train_loss = self.train_cdc_epoch(epoch_i, log_fn=log_fn)
+            result = self.evaluate(self.valid_batcher)
+            result.update(
+                epoch=epoch_i, train_loss=train_loss,
+                epoch_seconds=time.time() - t0,
+            )
+            if log_fn:
+                log_fn(result)
+            cont = self.stopper.is_continuable(result)
+            if self.stopper.improved:
+                self._best_bytes = self.snapshot_bytes()
+                # cluster assignment is part of checkpoint semantics
+                # (run.py:455-457)
+                best_cluster = (
+                    list(self.cluster.domain2group_list),
+                    [list(g) for g in self.cluster.s_group2domain_list],
+                )
+            if not cont:
+                break
+        if self._best_bytes is not None:
+            self.restore_bytes(self._best_bytes)
+            if best_cluster is not None:
+                self.cluster.domain2group = np.asarray(best_cluster[0], np.int64)
+                self.cluster.s_group2domain_list = best_cluster[1]
+        out = {"valid": self.stopper.best_result,
+               "domain2group_list": self.cluster.domain2group_list,
+               "s_group2domain_list": self.cluster.s_group2domain_list}
+        if test is not None:
+            out["test"] = self.evaluate(self.test_batcher)
+        return out

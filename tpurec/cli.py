@@ -1,0 +1,198 @@
+"""CLI entry: train/eval any zoo model or CDC.
+
+Mirrors the reference's 21-flag surface (main.py:16-41) on top of the typed
+config, including the all-args seed-hash default (main.py:43-47).
+
+    python -m tpurec.cli --model cdc --dataset_name synthetic --base_model mmoe
+    python -m tpurec.cli --model mmoe --dataset_name aliccp \
+        --data_path dataset/aliccp --group_strategy split
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from tpurec.config import (
+    CDCConfig,
+    Config,
+    DataConfig,
+    DOMAIN2GROUP_ORG_DICT,
+    ModelConfig,
+    TrainConfig,
+)
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="tpurec trainer")
+    p.add_argument("--model", default="deepfm")
+    p.add_argument("--dataset_name", default="synthetic")
+    p.add_argument("--data_path", default="dataset")
+    p.add_argument("--base_model", default="mmoe")
+    p.add_argument("--seed", type=int, default=2000)
+    p.add_argument("--is_set_seed", type=int, default=0)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--bs", type=int, default=512)
+    p.add_argument("--l2_reg", type=float, default=1e-5)
+    p.add_argument("--epoch", type=int, default=10)
+    p.add_argument("--embed_dim", type=int, default=16)
+    p.add_argument("--prepare2train_month", type=int, default=12)
+    p.add_argument("--group_strategy", default="mix")
+    p.add_argument("--domain_filter", default=None)
+    # cdc flags (main.py:30-40)
+    p.add_argument("--n_cluster", type=int, default=4)
+    p.add_argument("--update_matrix_step", type=int, default=2)
+    p.add_argument("--warmup_step", type=int, default=200)
+    p.add_argument("--p_weight", type=float, default=0.02)
+    p.add_argument("--p_weight_method", default="exponential_decay")
+    p.add_argument("--p_weight_exp_decay", type=float, default=0.4)
+    p.add_argument("--n_causal_mask", type=int, default=50)
+    p.add_argument("--update_interval", type=int, default=1000)
+    p.add_argument("--affinity_func", default="minus")
+    p.add_argument("--old_matrix_weight", type=float, default=0.0)
+    # synthetic-data knobs
+    p.add_argument("--n_domain", type=int, default=6)
+    p.add_argument("--n_rows", type=int, default=50000)
+    p.add_argument("--log_path", default=None)
+    args = p.parse_args(argv)
+
+    if args.is_set_seed == 0:
+        # unique seed from all args (main.py:43-47)
+        args.seed = hash(frozenset(vars(args).items())) % 10000
+        args.is_set_seed = 1
+    return args
+
+
+def build_config(args: argparse.Namespace) -> Config:
+    return Config(
+        model=ModelConfig(
+            model=args.model, embed_dim=args.embed_dim, l2_reg=args.l2_reg
+        ),
+        cdc=CDCConfig(
+            base_model=args.base_model, n_cluster=args.n_cluster,
+            n_causal_mask=args.n_causal_mask, warmup_step=args.warmup_step,
+            update_matrix_step=args.update_matrix_step,
+            update_interval=args.update_interval, p_weight=args.p_weight,
+            p_weight_method=args.p_weight_method,
+            p_weight_exp_decay=args.p_weight_exp_decay,
+            affinity_func=args.affinity_func,
+            old_matrix_weight=args.old_matrix_weight,
+        ),
+        train=TrainConfig(
+            lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed
+        ),
+        data=DataConfig(
+            dataset_name=args.dataset_name, data_path=args.data_path,
+            n_domain=args.n_domain, n_rows=args.n_rows,
+            group_strategy=args.group_strategy,
+            prepare2train_month=args.prepare2train_month,
+        ),
+    )
+
+
+def load_dataset(cfg: Config):
+    """-> (train, valid, test, field_dims, n_domain, domain_idx)."""
+    dc = cfg.data
+    if dc.dataset_name == "synthetic":
+        from tpurec.data import make_synthetic
+
+        data = make_synthetic(
+            n_rows=dc.n_rows, n_domain=dc.n_domain, seed=cfg.train.seed
+        )
+        return (data.train, data.valid, data.test, data.field_dims,
+                data.n_domain, data.domain_idx)
+
+    import pandas as pd
+
+    if dc.dataset_name == "amazon":
+        from tpurec.data.preprocess import AmazonPreprocessor
+
+        pre = AmazonPreprocessor(dc.data_path, dc.prepare2train_month)
+        path = pre.preprocess_path
+        feature_names = ["userid", "itemid", "weekday", "domain",
+                         "sales_chart", "sales_rank", "brand", "price"]
+        label, split_col = "label", "timestamp"
+    elif dc.dataset_name == "aliccp":
+        from tpurec.data.preprocess import AliCCPPreprocessor
+
+        pre = AliCCPPreprocessor(dc.data_path)
+        path = pre.preprocess_path
+        feature_names = ["userid", "121", "122", "124", "125", "126", "127",
+                         "128", "129", "itemid", "domain", "207", "210",
+                         "216", "508", "509", "702", "853", "109_14",
+                         "110_14", "127_14", "150_14", "301"]
+        label, split_col = "click", "train_tag"
+    else:
+        raise ValueError(f"unknown dataset {dc.dataset_name!r}")
+
+    df = pd.read_csv(path, usecols=feature_names + [label, split_col])
+    X = df[feature_names].values.astype(np.int32)
+    y = df[label].values.astype(np.float32)
+    domain_idx = feature_names.index("domain")
+    field_dims = tuple(int(v) + 1 for v in X.max(axis=0))
+    n_domain = int(df["domain"].nunique())
+    if dc.dataset_name == "amazon":
+        # timestamp-quantile split 0.9/0.95 (run.py:116)
+        ts = df[split_col].values
+        q90, q95 = np.quantile(ts, 0.9), np.quantile(ts, 0.95)
+        tr, va, te = ts < q90, (ts >= q90) & (ts < q95), ts >= q95
+    else:
+        tag = df[split_col].values
+        tr, va, te = tag == 0, tag == 1, tag == 2
+    return ((X[tr], y[tr]), (X[va], y[va]), (X[te], y[te]),
+            field_dims, n_domain, domain_idx)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = build_config(args)
+    np.random.seed(cfg.train.seed)
+
+    train, valid, test, field_dims, n_domain, domain_idx = load_dataset(cfg)
+
+    from tpurec.utils.logging import JsonlLogger
+
+    logger = JsonlLogger(args.log_path)
+
+    if "cdc" in cfg.model.model:
+        from tpurec.cdc import CDCTrainer
+
+        tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx)
+        out = tr.fit(train, valid, test=test, log_fn=logger)
+    else:
+        from tpurec.train import Trainer
+
+        strategy = DOMAIN2GROUP_ORG_DICT.get(cfg.data.dataset_name, {}).get(
+            cfg.data.group_strategy
+        )
+        if strategy is None:
+            strategy = (
+                list(range(n_domain)) if cfg.data.group_strategy == "split"
+                else [0] * n_domain
+            )
+        tr = Trainer(cfg, field_dims, n_domain, domain_idx,
+                     domain2group=strategy[:n_domain])
+        out = tr.fit(train, valid, test=test, log_fn=logger)
+
+    print(json.dumps(_jsonable(out), default=str))
+    return out
+
+
+def _jsonable(d):
+    if isinstance(d, dict):
+        return {str(k): _jsonable(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return [_jsonable(v) for v in d]
+    if isinstance(d, (np.floating, np.integer)):
+        return float(d)
+    return d
+
+
+if __name__ == "__main__":
+    main()

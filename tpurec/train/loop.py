@@ -81,7 +81,9 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed)
         dummy = jnp.zeros((2, len(field_dims)), jnp.int32)
         dummy_group = jnp.zeros((2,), jnp.int32)
-        variables = self.model.init(rng, dummy, group=dummy_group)
+        # jit the init: one fused compile instead of hundreds of eager op
+        # dispatches (critical on remote-compile TPU backends)
+        variables = jax.jit(self.model.init)(rng, dummy, group=dummy_group)
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         self.mutable_keys = tuple(model_state.keys())
