@@ -32,7 +32,7 @@ FIELD_DIMS = (
 DOMAIN_IDX = 10
 N_TOWER = 4
 BS = 512
-WARMUP, MEASURE = 5, 50
+WARMUP, MEASURE = 2, 8
 
 
 def main():
@@ -42,7 +42,11 @@ def main():
     from tpurec.config import Config, ModelConfig, TrainConfig
     from tpurec.models import build_model
     from tpurec.train.reg import reg_coef_tree
-    from tpurec.train.step import TrainState, make_optimizer, make_train_step
+    from tpurec.train.step import (
+        TrainState,
+        make_optimizer,
+        make_scan_train_steps,
+    )
 
     mcfg = ModelConfig(
         model="mmoe", embed_dim=16,
@@ -53,20 +57,18 @@ def main():
     model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)
-    n_pool = 8  # distinct device-resident batches, cycled
+    K = 16  # steps per scanned dispatch (device-resident batch stack)
     xs = np.stack(
-        [rng.integers(0, d, size=(n_pool, BS)) for d in FIELD_DIMS], axis=2
+        [rng.integers(0, d, size=(K, BS)) for d in FIELD_DIMS], axis=2
     ).astype(np.int32)
-    batches = []
-    for i in range(n_pool):
-        batches.append({
-            "x": jnp.asarray(xs[i]),
-            "y": jnp.asarray(rng.integers(0, 2, BS).astype(np.float32)),
-            "group": jnp.asarray((xs[i][:, DOMAIN_IDX] % N_TOWER).astype(np.int32)),
-            "mask": jnp.ones((BS,), jnp.float32),
-        })
+    batches = {
+        "x": jnp.asarray(xs),
+        "y": jnp.asarray(rng.integers(0, 2, (K, BS)).astype(np.float32)),
+        "group": jnp.asarray((xs[:, :, DOMAIN_IDX] % N_TOWER).astype(np.int32)),
+        "mask": jnp.ones((K, BS), jnp.float32),
+    }
 
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0]["x"])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches["x"][0])
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
@@ -75,25 +77,25 @@ def main():
         params=params, opt_state=tx.init(params),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
-    train_step, _ = make_train_step(
+    scan_steps, _ = make_scan_train_steps(
         model, tcfg, reg, multi_tower=True,
         mutable_keys=tuple(model_state.keys()), optimizer=tx,
     )
     step_rng = jax.random.PRNGKey(1)
 
-    for i in range(WARMUP):
+    for _ in range(WARMUP):
         step_rng, r = jax.random.split(step_rng)
-        state, loss = train_step(state, batches[i % n_pool], r)
-    jax.block_until_ready(loss)
+        state, losses = scan_steps(state, batches, jax.random.split(r, K))
+    jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
-    for i in range(MEASURE):
+    for _ in range(MEASURE):
         step_rng, r = jax.random.split(step_rng)
-        state, loss = train_step(state, batches[i % n_pool], r)
-    jax.block_until_ready(loss)
+        state, losses = scan_steps(state, batches, jax.random.split(r, K))
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
-    eps = BS * MEASURE / dt
+    eps = BS * K * MEASURE / dt
     prev = _previous_round_value()
     vs = eps / prev if prev else 1.0
     print(json.dumps({

@@ -97,37 +97,47 @@ class CDCTrainer:
 
     # ------------------------------------------------------------------
     def _build_steps(self):
+        """All hot-path functions take the device-resident training arrays
+        (Xdev [N,F], ydev [N]) plus int32 row-index batches, so host->device
+        traffic per step is a few KB of indices instead of the batch data
+        (the reference keeps its whole dataset on-device too, run.py:273).
+
+        Bursts run as lax.scan mega-steps: per-dispatch latency (~0.4ms)
+        would otherwise dominate the sub-millisecond CDC treatment steps.
+        """
         model, cfg = self.model, self.cfg
         reg_coefs, tx = self.reg_coefs, self.tx
         mutable = list(self.mutable_keys)
         domain_idx = self.domain_idx
 
-        def forward_train(params, model_state, batch, rng, mode, domain2group):
+        import optax
+
+        def forward_train(params, model_state, x, y, mask, rng, mode, domain2group):
             out, new_state = model.apply(
                 {"params": params, **model_state},
-                batch["x"],
+                x,
                 train=True,
-                row_mask=batch.get("mask"),
+                row_mask=mask,
                 mutable=mutable,
                 rngs={"dropout": rng},
             )
             if mode == "warmup":
                 # mean of tower probabilities (cdc.py:99-102)
                 probs = jnp.mean(jax.nn.sigmoid(out), axis=1)
-                loss = bce_on_probs(probs, batch["y"], batch.get("mask"))
+                loss = bce_on_probs(probs, y, mask)
             else:
-                groups = domain2group[batch["x"][:, domain_idx]]
+                groups = domain2group[x[:, domain_idx]]
                 logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
-                loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+                loss = bce_with_logits(logit, y, mask)
             loss = loss + regularization_loss(params, reg_coefs)
             return loss, new_state
 
-        import optax
-
-        def step(ts: TrainState, batch, rng, domain2group, mode):
+        def one_step(mode, ts, Xdev, ydev, idx, mask, rng, domain2group):
+            x = jnp.take(Xdev, idx, axis=0)
+            y = jnp.take(ydev, idx, axis=0)
             (loss, new_state), grads = jax.value_and_grad(
                 forward_train, has_aux=True
-            )(ts.params, ts.model_state, batch, rng, mode, domain2group)
+            )(ts.params, ts.model_state, x, y, mask, rng, mode, domain2group)
             updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
             new_params = optax.apply_updates(ts.params, updates)
             return ts.replace(
@@ -135,26 +145,50 @@ class CDCTrainer:
                 model_state=new_state, step=ts.step + 1,
             ), loss
 
-        self._warmup_step = jax.jit(
-            partial(step, mode="warmup"), donate_argnums=(0,)
-        )
-        self._split_step = jax.jit(
-            partial(step, mode="split"), donate_argnums=(0,)
+        def scan_steps(mode, ts, Xdev, ydev, idxs, masks, rngs, domain2group):
+            def body(ts, xs):
+                idx, mask, rng = xs
+                return one_step(mode, ts, Xdev, ydev, idx, mask, rng, domain2group)
+
+            return jax.lax.scan(body, ts, (idxs, masks, rngs))
+
+        def gated_scan_steps(mode, ts, Xdev, ydev, idxs, masks, valids, rngs,
+                             domain2group):
+            """Fixed-length scan where steps with valid=0 are fully discarded
+            (params/opt/stats selected back).  Lets variable-length treatment
+            bursts share ONE compiled shape instead of one per length."""
+
+            def body(ts, xs):
+                idx, mask, valid, rng = xs
+                new_ts, loss = one_step(
+                    mode, ts, Xdev, ydev, idx, mask, rng, domain2group
+                )
+                sel = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(valid > 0, a, b), new_ts, ts
+                )
+                return sel, loss
+
+            return jax.lax.scan(body, ts, (idxs, masks, valids, rngs))
+
+        self._split_step = jax.jit(partial(one_step, "split"), donate_argnums=(1,))
+        self._warmup_scan = jax.jit(partial(scan_steps, "warmup"), donate_argnums=(1,))
+        self._split_scan = jax.jit(partial(scan_steps, "split"), donate_argnums=(1,))
+        self._split_scan_gated = jax.jit(
+            partial(gated_scan_steps, "split"), donate_argnums=(1,)
         )
 
         @jax.jit
-        def eval_all_domains(params, model_state, xs, ys, masks, domain2group):
+        def eval_all_domains(params, model_state, Xdev, ydev, idx, masks, domain2group):
             """One [n_domain*bs] forward; per-domain BCE on probabilities
             (cdc_test_all_domain, run.py:550-558 + cdc.py:113-116).
 
-            xs: [D, bs, F], ys/masks: [D, bs] -> [D] loss vector."""
-            D, bs, F = xs.shape
-            out = model.apply(
-                {"params": params, **model_state},
-                xs.reshape(D * bs, F),
-                train=False,
-            )
-            groups = domain2group[xs.reshape(D * bs, F)[:, domain_idx]]
+            idx/masks: [D, bs] -> [D] loss vector."""
+            D, bs = idx.shape
+            flat_idx = idx.reshape(D * bs)
+            x = jnp.take(Xdev, flat_idx, axis=0)
+            ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
+            out = model.apply({"params": params, **model_state}, x, train=False)
+            groups = domain2group[x[:, domain_idx]]
             logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
             probs = jax.nn.sigmoid(logit).reshape(D, bs)
             p = jnp.clip(probs, 1e-7, 1 - 1e-7)
@@ -164,6 +198,33 @@ class CDCTrainer:
             )
 
         self._eval_all_domains = eval_all_domains
+
+        @jax.jit
+        def eval_all_domains_auc(params, model_state, Xdev, ydev, idx, masks,
+                                 domain2group):
+            """Per-domain exact (tie-aware) AUC on one batch each, on device
+            (the use_metric='auc' variant, cdc.py:117-119)."""
+            D, bs = idx.shape
+            flat_idx = idx.reshape(D * bs)
+            x = jnp.take(Xdev, flat_idx, axis=0)
+            ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
+            out = model.apply({"params": params, **model_state}, x, train=False)
+            groups = domain2group[x[:, domain_idx]]
+            logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+            p = logit.reshape(D, bs)  # AUC is rank-based: logits suffice
+
+            def one_auc(pd, yd, md):
+                pos = yd * md
+                neg = (1 - yd) * md
+                gt = (pd[:, None] > pd[None, :]).astype(jnp.float32)
+                eq = (pd[:, None] == pd[None, :]).astype(jnp.float32)
+                wins = jnp.sum(pos[:, None] * neg[None, :] * (gt + 0.5 * eq))
+                denom = jnp.sum(pos) * jnp.sum(neg)
+                return wins / jnp.maximum(denom, 1.0)
+
+            return jax.vmap(one_auc)(p, ys, masks)
+
+        self._eval_all_domains_auc = eval_all_domains_auc
 
         @jax.jit
         def predict_split(params, model_state, batch, domain2group):
@@ -215,62 +276,114 @@ class CDCTrainer:
             if test is not None else None
         )
         self.cluster = CDCClusterState.create(self.n_domain, self.n_cluster, self.cfg.cdc)
+        # device-resident training arrays; the hot loop only ships indices
+        self.Xdev = jnp.asarray(Xtr, jnp.int32)
+        self.ydev = jnp.asarray(ytr.astype(np.float32).reshape(-1))
 
     @property
     def domain2group_dev(self):
         return jnp.asarray(self.cluster.domain2group, jnp.int32)
 
     # ------------------------------------------------------------------
+    def _next_idx_padded(self, d: int, width: int):
+        """Next batch of domain d as (idx[width], mask[width])."""
+        idx = self.train_batcher.next_idx(d)
+        mask = np.zeros(width, np.float32)
+        mask[: len(idx)] = 1.0
+        out = np.zeros(width, np.int32)
+        out[: len(idx)] = idx
+        return out, mask
+
+    def _multi_idx_padded(self, domains, width: int):
+        """One batch from each domain concatenated (run.py:519-526),
+        shuffled order, padded to ``width`` rows."""
+        ds = list(domains)
+        self.train_batcher.rng.shuffle(ds)
+        idxs = [self.train_batcher.next_idx(d) for d in ds]
+        flat = np.concatenate(idxs)[:width]
+        out = np.zeros(width, np.int32)
+        mask = np.zeros(width, np.float32)
+        out[: len(flat)] = flat
+        mask[: len(flat)] = 1.0
+        return out, mask
+
     def _train_one(self, d: int):
         """One split-mode step on one domain batch (run.py:635-640)."""
-        batch = self.train_batcher.next_padded(d)
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        idx, mask = self._next_idx_padded(d, self.cfg.train.bs)
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         self.state, loss = self._split_step(
-            self.state, batch, rng, self.domain2group_dev
+            self.state, self.Xdev, self.ydev,
+            jnp.asarray(idx), jnp.asarray(mask), rng, self.domain2group_dev,
         )
         return loss
+
+    def _split_scan_run(self, idxs: np.ndarray, masks: np.ndarray):
+        self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+        rngs = jax.random.split(rng, idxs.shape[0])
+        self.state, losses = self._split_scan(
+            self.state, self.Xdev, self.ydev,
+            jnp.asarray(idxs), jnp.asarray(masks), rngs, self.domain2group_dev,
+        )
+        return losses
 
     def _train_burst(self, domains, k: int):
         """k repetitions over a domain (or domain set) with rollbackable
         weights (cdc_train_update_with_domain, run.py:529-548): an int
         domain trains k single-domain steps; a list trains on chunks of
-        ``group_chunk_size`` domains concatenated per step."""
+        ``group_chunk_size`` domains concatenated per step.  All steps of a
+        burst run as ONE scanned dispatch; variable-length multi-domain
+        bursts pad to a fixed scan length with gated (discarded) steps so
+        there are exactly two compiled burst shapes."""
+        bs = self.cfg.train.bs
         chunk = self.cfg.cdc.group_chunk_size
         if isinstance(domains, (int, np.integer)):
-            for _ in range(k):
-                self._train_one(int(domains))
+            pairs = [self._next_idx_padded(int(domains), bs) for _ in range(k)]
+            idxs = np.stack([p[0] for p in pairs])
+            masks = np.stack([p[1] for p in pairs])
+            self._split_scan_run(idxs, masks)
             return
         tmp = list(domains) * k
-        for i in range(0, len(tmp), chunk):
-            part = tmp[i : i + chunk]
-            batch = self.train_batcher.next_multi(part, chunk)
-            batch = {k2: jnp.asarray(v) for k2, v in batch.items()}
-            self.dropout_rng, rng = jax.random.split(self.dropout_rng)
-            self.state, _ = self._split_step(
-                self.state, batch, rng, self.domain2group_dev
-            )
+        pairs = [
+            self._multi_idx_padded(tmp[i : i + chunk], chunk * bs)
+            for i in range(0, len(tmp), chunk)
+        ]
+        K = len(pairs)
+        K_max = self._burst_k_max(k)
+        width = chunk * bs
+        idxs = np.zeros((K_max, width), np.int32)
+        masks = np.zeros((K_max, width), np.float32)
+        valids = np.zeros((K_max,), np.float32)
+        for i, (ii, mm) in enumerate(pairs[:K_max]):
+            idxs[i], masks[i], valids[i] = ii, mm, 1.0
+        self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+        rngs = jax.random.split(rng, K_max)
+        self.state, _ = self._split_scan_gated(
+            self.state, self.Xdev, self.ydev,
+            jnp.asarray(idxs), jnp.asarray(masks), jnp.asarray(valids), rngs,
+            self.domain2group_dev,
+        )
+
+    def _burst_k_max(self, k: int) -> int:
+        """Fixed gated-scan length covering the largest possible burst:
+        n_domain domains repeated k times in chunks of group_chunk_size."""
+        chunk = self.cfg.cdc.group_chunk_size
+        return max(1, -(-(self.n_domain * max(k, 1)) // chunk))
 
     def _eval_matrix_row(self) -> np.ndarray:
         """Loss on one train-stream batch of every domain, one jitted call
         (run.py:550-558; batches come from the TRAIN stream, run.py:555)."""
         bs = self.cfg.train.bs
-        xs = np.zeros((self.n_domain, bs, self.train_batcher.dom_X[0].shape[1]), np.int32)
-        ys = np.zeros((self.n_domain, bs), np.float32)
-        masks = np.zeros((self.n_domain, bs), np.float32)
-        for d in range(self.n_domain):
-            X, y = self.train_batcher.next_batch(d)
-            n = len(y)
-            if n == 0:
-                continue
-            xs[d, :n] = X
-            xs[d, n:] = X[:1] if n else 0
-            ys[d, :n] = y
-            masks[d, :n] = 1.0
-        row = self._eval_all_domains(
+        pairs = [self._next_idx_padded(d, bs) for d in range(self.n_domain)]
+        idx = np.stack([p[0] for p in pairs])
+        masks = np.stack([p[1] for p in pairs])
+        fn = (
+            self._eval_all_domains_auc
+            if self.cfg.cdc.use_metric == "auc" else self._eval_all_domains
+        )
+        row = fn(
             self.state.params, self.state.model_state,
-            jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(masks),
-            self.domain2group_dev,
+            self.Xdev, self.ydev,
+            jnp.asarray(idx), jnp.asarray(masks), self.domain2group_dev,
         )
         return np.asarray(row, np.float64)
 
@@ -343,6 +456,24 @@ class CDCTrainer:
             ("matrix_mask", st.matrix_mask), ("causal_matrix", st.matrix_causal),
         ):
             np.savetxt(os.path.join(out_dir, f"{name}_step{k}.csv"), m, delimiter=",")
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                vmax = max(abs(float(m.min())), abs(float(m.max())), 1e-12)
+                fig, ax = plt.subplots(figsize=(10, 8))
+                im = ax.imshow(m, cmap="RdBu", interpolation="nearest",
+                               vmin=-vmax, vmax=vmax)
+                ax.set_title(f"{name} step-{k}")
+                ax.set_xlabel("Domain Index")
+                ax.set_ylabel("Treatment Index")
+                fig.colorbar(im)
+                fig.savefig(os.path.join(out_dir, f"{name}_step{k}.png"))
+                plt.close(fig)
+            except ImportError:
+                pass
 
     # ------------------------------------------------------------------
     def train_cdc_epoch(self, epoch_i: int, log_fn=None) -> float:
@@ -356,30 +487,93 @@ class CDCTrainer:
         update_interval = (ccfg.update_interval * 1024) // tcfg.bs
 
         if epoch_i == 0:
+            # entire warmup (run.py:609-627) as ONE scanned dispatch
+            pairs = []
             for _ in range(warmup_step):
                 d = int(self.np_rng.choice(self.n_domain, p=self.domain_cnt_weight))
-                batch = self.train_batcher.next_padded(d)
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                self.dropout_rng, rng = jax.random.split(self.dropout_rng)
-                self.state, _ = self._warmup_step(
-                    self.state, batch, rng, self.domain2group_dev
-                )
+                pairs.append(self._next_idx_padded(d, tcfg.bs))
+            idxs = np.stack([p[0] for p in pairs])
+            masks = np.stack([p[1] for p in pairs])
+            self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+            rngs = jax.random.split(rng, warmup_step)
+            self.state, _ = self._warmup_scan(
+                self.state, self.Xdev, self.ydev,
+                jnp.asarray(idxs), jnp.asarray(masks), rngs,
+                self.domain2group_dev,
+            )
 
         loss_sum, n_steps = 0.0, 0
         seq = self.train_batcher.epoch_seq()
-        for i, d in enumerate(seq):
-            if (epoch_i == 0 and i == 0) or ((i + 1) % max(update_interval, 1) == 0):
-                t0 = time.time()
-                self.update_matrix_cdc(update_matrix_step)
-                if log_fn:
-                    log_fn({
-                        "cdc_update_seconds": time.time() - t0,
-                        "domain2group": self.cluster.domain2group_list,
-                    })
-            loss = self._train_one(int(d))
-            loss_sum += float(loss)
-            n_steps += 1
+        interval = max(update_interval, 1)
+
+        def run_update():
+            t0 = time.time()
+            self.update_matrix_cdc(update_matrix_step)
+            if log_fn:
+                log_fn({
+                    "cdc_update_seconds": time.time() - t0,
+                    "domain2group": self.cluster.domain2group_list,
+                })
+
+        # reference semantics (run.py:630-645): before training step i, run
+        # the matrix update iff (epoch 0 and i==0) or (i+1) % interval == 0.
+        # Between boundaries, steps train as scanned dispatches.
+        i = 0
+        while i < len(seq):
+            if (epoch_i == 0 and i == 0) or ((i + 1) % interval == 0):
+                run_update()
+                loss_sum += self._train_span(seq, i, i + 1)
+                n_steps += 1
+                i += 1
+                continue
+            next_boundary = (i // interval + 1) * interval - 1  # > i here
+            seg_end = min(len(seq), next_boundary)
+            loss_sum += self._train_span(seq, i, seg_end)
+            n_steps += seg_end - i
+            i = seg_end
         return loss_sum / max(n_steps, 1)
+
+    _SPAN_SCAN = 64  # split-mode steps per scanned dispatch
+
+    def _train_span(self, seq, lo: int, hi: int) -> float:
+        """Train split-mode steps lo..hi-1 of the domain sequence via
+        fixed-shape scans (full 64-step scans plus one gated tail)."""
+        bs = self.cfg.train.bs
+        total = 0.0
+        j = lo
+        while j < hi:
+            span = min(self._SPAN_SCAN, hi - j)
+            pairs = [self._next_idx_padded(int(seq[t]), bs)
+                     for t in range(j, j + span)]
+            idxs = np.stack([p[0] for p in pairs])
+            masks = np.stack([p[1] for p in pairs])
+            if span == self._SPAN_SCAN:
+                losses = self._split_scan_run(idxs, masks)
+            elif span == 1:
+                self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+                self.state, losses = self._split_step(
+                    self.state, self.Xdev, self.ydev,
+                    jnp.asarray(idxs[0]), jnp.asarray(masks[0]), rng,
+                    self.domain2group_dev,
+                )
+            else:
+                pad = self._SPAN_SCAN - span
+                idxs = np.concatenate([idxs, np.zeros((pad, bs), np.int32)])
+                masks = np.concatenate([masks, np.zeros((pad, bs), np.float32)])
+                valids = np.concatenate(
+                    [np.ones(span, np.float32), np.zeros(pad, np.float32)]
+                )
+                self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+                rngs = jax.random.split(rng, self._SPAN_SCAN)
+                self.state, losses = self._split_scan_gated(
+                    self.state, self.Xdev, self.ydev,
+                    jnp.asarray(idxs), jnp.asarray(masks),
+                    jnp.asarray(valids), rngs, self.domain2group_dev,
+                )
+                losses = losses[:span]
+            total += float(jnp.sum(losses))
+            j += span
+        return total
 
     # ------------------------------------------------------------------
     def evaluate(self, batcher: DomainBatcher) -> Dict:

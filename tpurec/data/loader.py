@@ -103,6 +103,7 @@ class DomainBatcher:
         d = X[:, domain_idx]
         self.dom_X: List[np.ndarray] = []
         self.dom_y: List[np.ndarray] = []
+        self.dom_rows: List[np.ndarray] = []  # global row indices per domain
         self._perm: List[np.ndarray] = []
         self._pos: List[int] = []
         seq: List[int] = []
@@ -110,6 +111,7 @@ class DomainBatcher:
             m = d == dom
             self.dom_X.append(X[m])
             self.dom_y.append(y[m].astype(np.float32).reshape(-1))
+            self.dom_rows.append(np.nonzero(m)[0].astype(np.int32))
             self._perm.append(self.rng.permutation(int(m.sum())))
             self._pos.append(0)
             seq.extend([dom] * int(np.ceil(m.sum() / bs)))
@@ -135,6 +137,19 @@ class DomainBatcher:
         sl = self._perm[d][pos : pos + self.bs]
         self._pos[d] = pos + len(sl)
         return self.dom_X[d][sl], self.dom_y[d][sl]
+
+    def next_idx(self, d: int) -> np.ndarray:
+        """Global row indices of the next batch of domain d (same scheduling
+        semantics as :meth:`next_batch`), for device-resident gather feeds."""
+        n = len(self.dom_rows[d])
+        pos = self._pos[d]
+        if pos >= n:
+            self._perm[d] = self.rng.permutation(n)
+            self._pos[d] = 0
+            pos = 0
+        sl = self._perm[d][pos : pos + self.bs]
+        self._pos[d] = pos + len(sl)
+        return self.dom_rows[d][sl]
 
     def next_padded(self, d: int, group_of: Optional[np.ndarray] = None) -> Dict:
         X, y = self.next_batch(d)

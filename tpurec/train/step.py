@@ -119,6 +119,58 @@ def make_train_step(
     return train_step, tx
 
 
+def make_scan_train_steps(
+    model,
+    tcfg: TrainConfig,
+    reg_coefs,
+    multi_tower: bool,
+    mutable_keys,
+    optimizer: Optional[optax.GradientTransformation] = None,
+):
+    """K train steps per dispatch via lax.scan over stacked batches.
+
+    Per-step dispatch latency dominates sub-millisecond CTR steps (measured
+    ~0.4ms fixed overhead per dispatch on TPU v5e through the runtime); a
+    scanned mega-step amortizes it.  batches: dict of [K, bs, ...] arrays,
+    rngs: [K] PRNG keys.  Returns (new_state, losses[K]).
+    """
+    tx = optimizer if optimizer is not None else make_optimizer(tcfg)
+    mutable_keys = tuple(mutable_keys)
+
+    def loss_fn(params, model_state, batch, rng):
+        out, new_state = model.apply(
+            {"params": params, **model_state},
+            batch["x"],
+            group=batch.get("group"),
+            train=True,
+            row_mask=batch.get("mask"),
+            mutable=list(mutable_keys),
+            rngs={"dropout": rng},
+        )
+        logit = select_tower(out, batch["group"]) if multi_tower else out
+        loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+        return loss + regularization_loss(params, reg_coefs), new_state
+
+    def one_step(ts, xs):
+        batch, rng = xs
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            ts.params, ts.model_state, batch, rng
+        )
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        return (
+            ts.replace(params=new_params, opt_state=new_opt,
+                       model_state=new_state, step=ts.step + 1),
+            loss,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_steps(ts: TrainState, batches, rngs):
+        return jax.lax.scan(one_step, ts, (batches, rngs))
+
+    return scan_steps, tx
+
+
 def make_eval_step(model, multi_tower: bool):
     """Jitted eval: probabilities per row (group tower selected)."""
 
