@@ -44,7 +44,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embed_dim", type=int, default=16)
     p.add_argument("--prepare2train_month", type=int, default=12)
     p.add_argument("--group_strategy", default="mix")
-    p.add_argument("--domain_filter", default=None)
+    p.add_argument("--domain_filter", default=None,
+                   help="e.g. '[0,3,5]' — keep only these domains (run.py:120-123)")
+    p.add_argument("--resume", default=None,
+                   help="checkpoint path to resume from (is_increment analog)")
     # cdc flags (main.py:30-40)
     p.add_argument("--n_cluster", type=int, default=4)
     p.add_argument("--update_matrix_step", type=int, default=2)
@@ -92,6 +95,10 @@ def build_config(args: argparse.Namespace) -> Config:
             n_domain=args.n_domain, n_rows=args.n_rows,
             group_strategy=args.group_strategy,
             prepare2train_month=args.prepare2train_month,
+            domain_filter=(
+                tuple(__import__("ast").literal_eval(args.domain_filter))
+                if args.domain_filter else None
+            ),
         ),
     )
 
@@ -156,6 +163,25 @@ def main(argv=None):
 
     train, valid, test, field_dims, n_domain, domain_idx = load_dataset(cfg)
 
+    if cfg.data.domain_filter:
+        # keep only the listed domains, re-encode contiguously (run.py:120-123)
+        keep = np.asarray(sorted(cfg.data.domain_filter))
+        remap = -np.ones(int(keep.max()) + 1, np.int32)
+        remap[keep] = np.arange(len(keep))
+
+        def _filt(split):
+            X, y = split
+            m = np.isin(X[:, domain_idx], keep)
+            X = X[m].copy()
+            X[:, domain_idx] = remap[X[:, domain_idx]]
+            return X, y[m]
+
+        train, valid, test = _filt(train), _filt(valid), _filt(test)
+        n_domain = len(keep)
+        field_dims = tuple(
+            n_domain if i == domain_idx else d for i, d in enumerate(field_dims)
+        )
+
     from tpurec.utils.logging import JsonlLogger
 
     logger = JsonlLogger(args.log_path)
@@ -164,6 +190,11 @@ def main(argv=None):
         from tpurec.cdc import CDCTrainer
 
         tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx)
+        if args.resume:
+            with open(args.resume, "rb") as f:
+                import pickle
+
+                tr.restore_bytes(pickle.load(f)["state"])
         out = tr.fit(train, valid, test=test, log_fn=logger)
     else:
         from tpurec.train import Trainer
@@ -178,6 +209,8 @@ def main(argv=None):
             )
         tr = Trainer(cfg, field_dims, n_domain, domain_idx,
                      domain2group=strategy[:n_domain])
+        if args.resume:
+            tr.load_checkpoint(args.resume)
         out = tr.fit(train, valid, test=test, log_fn=logger)
 
     print(json.dumps(_jsonable(out), default=str))

@@ -140,6 +140,10 @@ class TrainConfig:
     save_path: str = "save"
     # compute dtype for dense math; params/accum stay f32
     compute_dtype: str = "float32"
+    # train steps fused into one scanned device dispatch (amortizes the
+    # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1
+    # disables scanning
+    steps_per_dispatch: int = 16
 
 
 @dataclass(frozen=True)

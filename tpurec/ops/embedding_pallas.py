@@ -60,16 +60,25 @@ def _gather_kernel(idx_ref, table_ref, out_ref, *, rows_per_block: int):
 
 def embedding_gather_fused(table, ids, rows_per_block: int = 256,
                            interpret: bool = False):
-    """table [V, D] (HBM-resident), ids [N] int32 -> [N, D]."""
+    """table [V, D] (HBM-resident), ids [N] int32 -> [N, D].
+
+    Mosaic DMA row slices must be lane-aligned: requires D % 128 == 0
+    (natively compiled path).  Narrow tables fall back to XLA's gather,
+    which handles sub-tile rows better than per-row DMA ever could.
+    """
     N = ids.shape[0]
     D = table.shape[1]
+    if not interpret and D % 128 != 0:
+        return jnp.take(table, ids.astype(jnp.int32), axis=0)
     n_blocks = pl.cdiv(N, rows_per_block)
     pad = n_blocks * rows_per_block - N
     ids_p = jnp.pad(ids.astype(jnp.int32), (0, pad))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        # the table must stay HBM-resident (it is the framework's largest
+        # tensor); rows are DMA'd into VMEM scratch explicitly
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (rows_per_block, D), lambda b, idx_ref: (b, 0),
             memory_space=pltpu.VMEM,

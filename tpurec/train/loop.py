@@ -24,7 +24,13 @@ from tpurec.data.loader import ArrayBatcher
 from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
 from tpurec.models import MULTI_TOWER_OUTPUT, NEEDS_GROUP, build_model
 from tpurec.train.reg import reg_coef_tree
-from tpurec.train.step import TrainState, make_eval_step, make_train_step, make_optimizer
+from tpurec.train.step import (
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_scan_train_steps,
+    make_train_step,
+)
 
 
 class EarlyStopper:
@@ -105,6 +111,10 @@ class Trainer:
             self.model, cfg.train, self.reg_coefs, self.multi_tower,
             self.mutable_keys, optimizer=tx,
         )
+        self.scan_steps, _ = make_scan_train_steps(
+            self.model, cfg.train, self.reg_coefs, self.multi_tower,
+            self.mutable_keys, optimizer=tx,
+        )
         self.eval_step = make_eval_step(self.model, self.multi_tower)
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.stopper = EarlyStopper(cfg.train.early_stop)
@@ -123,14 +133,42 @@ class Trainer:
         )
         loss_sum, n_batches = 0.0, 0
         log_interval = max(1, self.cfg.train.log_interval_rows // bs)
+        K = max(1, self.cfg.train.steps_per_dispatch)
+        pending = []
+
+        def flush_pending():
+            nonlocal loss_sum, n_batches
+            if not pending:
+                return
+            if len(pending) == 1 or K == 1:
+                for b in pending:
+                    self.dropout_rng, r = jax.random.split(self.dropout_rng)
+                    self.state, loss = self.train_step(
+                        self.state, {k: jnp.asarray(v) for k, v in b.items()}, r
+                    )
+                    loss_sum += float(loss)
+                    n_batches += 1
+            else:
+                stacked = {
+                    k: jnp.asarray(np.stack([b[k] for b in pending]))
+                    for k in pending[0]
+                }
+                self.dropout_rng, r = jax.random.split(self.dropout_rng)
+                rngs = jax.random.split(r, len(pending))
+                self.state, losses = self.scan_steps(self.state, stacked, rngs)
+                loss_sum += float(jnp.sum(losses))
+                n_batches += len(pending)
+            pending.clear()
+
         for i, batch in enumerate(batcher):
-            self.dropout_rng, step_rng = jax.random.split(self.dropout_rng)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            self.state, loss = self.train_step(self.state, batch, step_rng)
-            loss_sum += float(loss)
-            n_batches += 1
+            pending.append(batch)
+            if len(pending) == K:
+                flush_pending()
             if log_fn is not None and (i + 1) % log_interval == 0:
-                log_fn({"train_loss": loss_sum / n_batches, "epoch": epoch_i, "it": i})
+                flush_pending()
+                log_fn({"train_loss": loss_sum / max(n_batches, 1),
+                        "epoch": epoch_i, "it": i})
+        flush_pending()
         return loss_sum / max(n_batches, 1)
 
     def evaluate(self, X: np.ndarray, y: np.ndarray,
