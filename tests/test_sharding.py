@@ -107,3 +107,44 @@ def test_batch_sharded_across_data_axis():
     placed = jax.device_put(batch, shardings.batch_sharding(batch))
     assert len(placed["x"].addressable_shards) == 8
     assert placed["x"].addressable_shards[0].data.shape == (BS // 8, 5)
+
+
+def test_explicit_sharded_embedding_lookup_matches_take(rng):
+    from tpurec.parallel.embedding import shard_table, sharded_embedding_lookup
+
+    mesh = make_mesh(2, 4)
+    V, D, B, Fn = 103, 8, 16, 5  # V not divisible by 4 -> exercises padding
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, (B, Fn)).astype(np.int32))
+    with mesh:
+        tbl_sharded = shard_table(table, mesh)
+        ids_sharded = jax.device_put(
+            ids, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+        )
+        out = sharded_embedding_lookup(tbl_sharded, ids_sharded, mesh)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-6)
+    # result stays sharded over data
+    assert len(out.addressable_shards) == 8
+
+
+def test_explicit_sharded_lookup_grads(rng):
+    from tpurec.parallel.embedding import shard_table, sharded_embedding_lookup
+
+    mesh = make_mesh(2, 4)
+    V, D, B, Fn = 40, 4, 8, 3
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, (B, Fn)).astype(np.int32))
+
+    def loss_sharded(tbl):
+        with mesh:
+            t = shard_table(tbl, mesh)
+            out = sharded_embedding_lookup(t, ids, mesh)
+        return jnp.sum(jnp.tanh(out))
+
+    def loss_ref(tbl):
+        return jnp.sum(jnp.tanh(jnp.take(tbl, ids, axis=0)))
+
+    g1 = jax.grad(loss_sharded)(table)
+    g2 = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

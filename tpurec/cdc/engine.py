@@ -170,12 +170,88 @@ class CDCTrainer:
 
             return jax.lax.scan(body, ts, (idxs, masks, valids, rngs))
 
-        self._split_step = jax.jit(partial(one_step, "split"), donate_argnums=(1,))
-        self._warmup_scan = jax.jit(partial(scan_steps, "warmup"), donate_argnums=(1,))
-        self._split_scan = jax.jit(partial(scan_steps, "split"), donate_argnums=(1,))
+        # after functools.partial binds ``mode``, the wrapped signature is
+        # (ts, Xdev, ydev, ...) — donate ts (arg 0), never the data arrays
+        self._split_step = jax.jit(partial(one_step, "split"), donate_argnums=(0,))
+        self._warmup_scan = jax.jit(partial(scan_steps, "warmup"), donate_argnums=(0,))
+        self._split_scan = jax.jit(partial(scan_steps, "split"), donate_argnums=(0,))
         self._split_scan_gated = jax.jit(
-            partial(gated_scan_steps, "split"), donate_argnums=(1,)
+            partial(gated_scan_steps, "split"), donate_argnums=(0,)
         )
+
+        use_auc = cfg.cdc.use_metric == "auc"
+
+        def eval_row_from(params, model_state, Xdev, ydev, idx, masks, d2g):
+            """[D, bs] -> [D] metric (loss default; exact pairwise AUC for
+            use_metric='auc', cdc.py:113-119)."""
+            D, bs = idx.shape
+            flat_idx = idx.reshape(D * bs)
+            x = jnp.take(Xdev, flat_idx, axis=0)
+            ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
+            out = model.apply({"params": params, **model_state}, x, train=False)
+            groups = d2g[x[:, domain_idx]]
+            logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+            vals = logit.reshape(D, bs)
+            if use_auc:
+                def one_auc(pd, yd, md):
+                    pos = yd * md
+                    neg = (1 - yd) * md
+                    gt = (pd[:, None] > pd[None, :]).astype(jnp.float32)
+                    eq = (pd[:, None] == pd[None, :]).astype(jnp.float32)
+                    wins = jnp.sum(pos[:, None] * neg[None, :] * (gt + 0.5 * eq))
+                    return wins / jnp.maximum(jnp.sum(pos) * jnp.sum(neg), 1.0)
+
+                return jax.vmap(one_auc)(vals, ys, masks)
+            p = jnp.clip(jax.nn.sigmoid(vals), 1e-7, 1 - 1e-7)
+            losses = -(ys * jnp.log(p) + (1 - ys) * jnp.log1p(-p))
+            return jnp.sum(losses * masks, axis=1) / jnp.maximum(
+                jnp.sum(masks, axis=1), 1.0
+            )
+
+        def populate_rows(ts, Xdev, ydev, bidx, bmask, bvalid, rngs, eidx,
+                          emask, domain2group):
+            """All matrix rows of one block in ONE dispatch.
+
+            Per row r (outer scan): run the gated treatment burst
+            (bidx[r] [K, W]), evaluate the metric on every domain
+            (eidx[r] [D, bs]), then roll back params + model buffers to the
+            block snapshot while KEEPING optimizer moments — exactly the
+            reference's asymmetry (cdc.py:343-351 restores the base model's
+            state_dict but never the Adam state; run.py:528-592 rolls back
+            after every row).  Returns (state_after, rows [R, D]).
+            """
+            snap_params = ts.params
+            snap_mstate = ts.model_state
+
+            def one_row(ts, xs):
+                ridx, rmask, rvalid, rrng, reidx, remask = xs
+
+                def body(ts, step_xs):
+                    idx, mask, valid, rng = step_xs
+                    new_ts, loss = one_step(
+                        "split", ts, Xdev, ydev, idx, mask, rng, domain2group
+                    )
+                    sel = jax.tree_util.tree_map(
+                        lambda a, b: jnp.where(valid > 0, a, b), new_ts, ts
+                    )
+                    return sel, loss
+
+                step_rngs = jax.vmap(
+                    lambda i: jax.random.fold_in(rrng, i)
+                )(jnp.arange(ridx.shape[0]))
+                ts, _ = jax.lax.scan(body, ts, (ridx, rmask, rvalid, step_rngs))
+                row = eval_row_from(
+                    ts.params, ts.model_state, Xdev, ydev, reidx, remask,
+                    domain2group,
+                )
+                ts = ts.replace(params=snap_params, model_state=snap_mstate)
+                return ts, row
+
+            return jax.lax.scan(
+                one_row, ts, (bidx, bmask, bvalid, rngs, eidx, emask)
+            )
+
+        self._populate_rows = jax.jit(populate_rows, donate_argnums=(0,))
 
         @jax.jit
         def eval_all_domains(params, model_state, Xdev, ydev, idx, masks, domain2group):
@@ -388,56 +464,136 @@ class CDCTrainer:
         return np.asarray(row, np.float64)
 
     # ------------------------------------------------------------------
+    def _eval_sched(self):
+        """One train-stream batch per domain: (idx [D, bs], mask [D, bs])."""
+        bs = self.cfg.train.bs
+        pairs = [self._next_idx_padded(d, bs) for d in range(self.n_domain)]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
+
+    def _multi_burst_sched(self, domains, k: int, K_max: int):
+        """Index schedule of a multi-domain treatment burst: list repeated k
+        times, chunks of group_chunk_size concatenated per step
+        (run.py:529-548), padded to K_max gated steps."""
+        bs = self.cfg.train.bs
+        chunk = self.cfg.cdc.group_chunk_size
+        W = chunk * bs
+        idxs = np.zeros((K_max, W), np.int32)
+        masks = np.zeros((K_max, W), np.float32)
+        valids = np.zeros((K_max,), np.float32)
+        if domains:
+            tmp = list(domains) * k
+            for s, i in enumerate(range(0, len(tmp), chunk)):
+                if s >= K_max:
+                    break
+                idxs[s], masks[s] = self._multi_idx_padded(tmp[i : i + chunk], W)
+                valids[s] = 1.0
+        return idxs, masks, valids
+
+    def _run_populate(self, bidx, bmask, bvalid, eidx, emask):
+        R = bidx.shape[0]
+        self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+        rngs = jax.random.split(rng, R)
+        self.state, rows = self._populate_rows(
+            self.state, self.Xdev, self.ydev,
+            jnp.asarray(bidx), jnp.asarray(bmask), jnp.asarray(bvalid), rngs,
+            jnp.asarray(eidx), jnp.asarray(emask), self.domain2group_dev,
+        )
+        return np.asarray(rows, np.float64)
+
     def update_matrix_cdc(self, update_matrix_step: int):
-        """Populate matrix_mask/A/B via perturb-train-eval-rollback loops
-        (run.py:528-594), then re-cluster."""
+        """Populate matrix_mask/A/B (run.py:528-594) then re-cluster.
+
+        All rows of a block run in ONE jitted dispatch (_populate_rows):
+        the rollback after each row is the functional params/buffers reset
+        inside the scan, with Adam moments carried across rows — the
+        reference's exact snapshot asymmetry without any host round trips.
+        Three dispatches total instead of the reference's ~(3*155 bursts +
+        155*n_domain eval batches) of device<->host traffic.
+        """
         st = self.cluster
         cfg = self.cfg.cdc
-        self.save_model_state()
+        k = update_matrix_step
+        bs = self.cfg.train.bs
+        D = self.n_domain
+        K_max = self._burst_k_max(k)
 
-        # treatment (causal-mask) rows (run.py:563-569)
-        for line_i in range(cfg.n_causal_mask):
-            size = int(self.np_rng.integers(5, max(self.n_domain, 6)))
-            treat = self.np_rng.choice(
-                self.n_domain, p=self.domain_cnt_weight, size=size
+        # ---- treatment (causal-mask) rows (run.py:563-569)
+        R = cfg.n_causal_mask
+        W = cfg.group_chunk_size * bs
+        bidx = np.zeros((R, K_max, W), np.int32)
+        bmask = np.zeros((R, K_max, W), np.float32)
+        bvalid = np.zeros((R, K_max), np.float32)
+        eidx = np.zeros((R, D, bs), np.int32)
+        emask = np.zeros((R, D, bs), np.float32)
+        for r in range(R):
+            size = int(self.np_rng.integers(5, max(D, 6)))
+            treat = self.np_rng.choice(D, p=self.domain_cnt_weight, size=size)
+            bidx[r], bmask[r], bvalid[r] = self._multi_burst_sched(
+                list(treat), k, K_max
             )
-            self._train_burst(list(treat), update_matrix_step)
-            st.matrix_mask[line_i] = self._eval_matrix_row()
-            self.load_model_state()
+            eidx[r], emask[r] = self._eval_sched()
+        st.matrix_mask[:] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
 
-        # matrix A: warm baseline + train-on-one rows (run.py:571-577)
-        st.matrix_A[self.n_domain] = self._eval_matrix_row()
-        for d in range(self.n_domain):
-            self._train_burst(int(d), update_matrix_step)
-            st.matrix_A[d] = self._eval_matrix_row()
-            self.load_model_state()
-
-        # matrix B: leave-one-out rows + per-cluster rows (run.py:579-592).
-        # Cluster rows train on ALL domains of cluster c — the reference's
-        # intended semantics (cdc.py:80 comment); run.py:587 actually indexes
-        # domain2group_list[c] (a single scrambled domain id), which we treat
-        # as a bug and do not reproduce.
-        d2g = st.domain2group_list
-        n_rows = (
-            self.n_domain + self.n_cluster if max(d2g) > 0 else self.n_domain + 1
+        # ---- matrix A: warm baseline (eval-only) + train-on-one rows
+        # (run.py:571-577); single-domain bursts are k steps of [bs]
+        ei, em = self._eval_sched()
+        st.matrix_A[D] = np.asarray(
+            self._eval_all_domains(
+                self.state.params, self.state.model_state, self.Xdev, self.ydev,
+                jnp.asarray(ei), jnp.asarray(em), self.domain2group_dev,
+            ),
+            np.float64,
+        ) if cfg.use_metric != "auc" else np.asarray(
+            self._eval_all_domains_auc(
+                self.state.params, self.state.model_state, self.Xdev, self.ydev,
+                jnp.asarray(ei), jnp.asarray(em), self.domain2group_dev,
+            ),
+            np.float64,
         )
-        for d_i in range(n_rows):
-            if d_i >= self.n_domain:
-                c = d_i - self.n_domain
-                train_domains = list(st.t_group2domain_list[c]) if max(d2g) > 0 else list(
-                    range(self.n_domain)
-                )
+        bidx = np.zeros((D, k, bs), np.int32)
+        bmask = np.zeros((D, k, bs), np.float32)
+        bvalid = np.ones((D, k), np.float32)
+        eidx = np.zeros((D, D, bs), np.int32)
+        emask = np.zeros((D, D, bs), np.float32)
+        for d in range(D):
+            for s in range(k):
+                bidx[d, s], bmask[d, s] = self._next_idx_padded(d, bs)
+            eidx[d], emask[d] = self._eval_sched()
+        st.matrix_A[:D] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
+
+        # ---- matrix B: leave-one-out rows + per-cluster rows
+        # (run.py:579-592).  Cluster rows train on ALL domains of cluster c —
+        # the intended semantics (cdc.py:80 comment); run.py:587's
+        # domain2group_list[c] indexing is a reference bug not reproduced.
+        # Before the first clustering only row D (the single all-domain
+        # cluster) is meaningful; extra rows are eval-only and unused.
+        d2g = st.domain2group_list
+        R_B = D + self.n_cluster
+        bidx = np.zeros((R_B, K_max, W), np.int32)
+        bmask = np.zeros((R_B, K_max, W), np.float32)
+        bvalid = np.zeros((R_B, K_max), np.float32)
+        eidx = np.zeros((R_B, D, bs), np.int32)
+        emask = np.zeros((R_B, D, bs), np.float32)
+        for r in range(R_B):
+            if r >= D:
+                c = r - D
+                if max(d2g) > 0:
+                    train_domains = list(st.t_group2domain_list[c])
+                else:
+                    train_domains = list(range(D)) if c == 0 else []
             else:
                 train_domains = [
-                    d for d in st.s_group2domain_list[d2g[d_i]] if d != d_i
+                    d for d in st.s_group2domain_list[d2g[r]] if d != r
                 ]
-            if train_domains:
-                self._train_burst(train_domains, update_matrix_step)
-            st.matrix_B[d_i] = self._eval_matrix_row()
-            self.load_model_state()
+            bidx[r], bmask[r], bvalid[r] = self._multi_burst_sched(
+                train_domains, k, K_max
+            )
+            eidx[r], emask[r] = self._eval_sched()
+        st.matrix_B[:] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
 
         update_group(
-            st, cfg, self.domain_cnt_weight, kmeans_seed=int(self.np_rng.integers(2**31))
+            st, cfg, self.domain_cnt_weight,
+            kmeans_seed=int(self.np_rng.integers(2**31)),
         )
         if cfg.save_matrix_artifacts:
             self._dump_matrices()
