@@ -6,8 +6,15 @@ Config: MMoE (the CDC base architecture) at reference hyperparameters
 (embed_dim=16, bs=512, expert_dims=(256,128,64), tower_dims=(64,32),
 aux attention head ON — /root/reference/config.py:12-36,24), Ali-CCP-like
 schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
-(config.py:7) and 50 domains.  Measures steady-state examples/sec/chip of
-the donated jitted train step with data pre-staged on device.
+(config.py:7) and 50 domains, 26.7M params.
+
+Measures steady-state examples/sec/chip of the K=16-step scanned train
+dispatch with row-sparse embedding updates (tpurec.train.sparse — the
+dense-Adam reference semantics is HBM-bound on ~0.75GB of optimizer
+traffic per step; the lazy-Adam path updates only the <=11.8k touched
+rows).  Timing is hard-synced by fetching the final losses to host (the
+remote-TPU runtime's block_until_ready can return before the dispatch
+chain completes).
 
 The reference repo publishes no benchmark numbers (README.md:1-2,
 BASELINE.md), so vs_baseline compares against the previous round's
@@ -17,7 +24,6 @@ BENCH_r*.json when present, else 1.0.
 import glob
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -32,6 +38,7 @@ FIELD_DIMS = (
 DOMAIN_IDX = 10
 N_TOWER = 4
 BS = 512
+K = 16          # steps per scanned dispatch
 WARMUP, MEASURE = 2, 8
 
 
@@ -39,25 +46,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from tpurec.config import Config, ModelConfig, TrainConfig
+    from tpurec.config import ModelConfig, TrainConfig
     from tpurec.models import build_model
     from tpurec.train.reg import reg_coef_tree
-    from tpurec.train.step import (
-        TrainState,
-        make_optimizer,
-        make_scan_train_steps,
-    )
+    from tpurec.train.sparse import init_sparse_opt_state, make_sparse_train_step
+    from tpurec.train.step import TrainState, make_optimizer
 
     mcfg = ModelConfig(
         model="mmoe", embed_dim=16,
         mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
         use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
     )
-    tcfg = TrainConfig(bs=BS)
+    tcfg = TrainConfig(bs=BS, embedding_update="sparse")
     model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)
-    K = 16  # steps per scanned dispatch (device-resident batch stack)
     xs = np.stack(
         [rng.integers(0, d, size=(K, BS)) for d in FIELD_DIMS], axis=2
     ).astype(np.int32)
@@ -74,25 +77,25 @@ def main():
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
     tx = make_optimizer(tcfg)
     state = TrainState(
-        params=params, opt_state=tx.init(params),
+        params=params, opt_state=init_sparse_opt_state(params, tx),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
-    scan_steps, _ = make_scan_train_steps(
-        model, tcfg, reg, multi_tower=True,
-        mutable_keys=tuple(model_state.keys()), optimizer=tx,
+    scan_steps, _ = make_sparse_train_step(
+        model, tcfg, reg, multi_tower=True, mutable_keys=tuple(model_state.keys()),
+        l2_reg_embedding=1e-5, optimizer=tx, scan_k=K,
     )
     step_rng = jax.random.PRNGKey(1)
 
     for _ in range(WARMUP):
         step_rng, r = jax.random.split(step_rng)
         state, losses = scan_steps(state, batches, jax.random.split(r, K))
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # hard sync
 
     t0 = time.perf_counter()
     for _ in range(MEASURE):
         step_rng, r = jax.random.split(step_rng)
         state, losses = scan_steps(state, batches, jax.random.split(r, K))
-    jax.block_until_ready(losses)
+    _ = np.asarray(losses)  # the chain through donated state forces all work
     dt = time.perf_counter() - t0
 
     eps = BS * K * MEASURE / dt

@@ -210,3 +210,16 @@ def test_aliccp_all_sampling_modes(tmp_path, rng, mode):
     out = pre.filter_and_sample([df.copy()])
     assert 1 <= out["domain"].nunique() <= 8
     assert out["domain"].max() == out["domain"].nunique() - 1
+
+
+def test_summarize_splits(rng):
+    from tpurec.data import make_synthetic
+    from tpurec.data.stats import summarize_splits
+
+    data = make_synthetic(n_rows=5000, n_fields=6, n_domain=4, domain_idx=3, seed=9)
+    stats = summarize_splits(data.train, data.valid, data.test, data.domain_idx)
+    assert stats["n_domain"] == 4
+    assert sum(stats["n_rows"].values()) == 5000
+    assert abs(sum(stats["split_fractions"].values()) - 1.0) < 1e-9
+    assert len(stats["domain_counts"]) == 4
+    assert 0 <= stats["user_overlap"]["valid_in_train"]["frac"] <= 1

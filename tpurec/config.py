@@ -144,6 +144,10 @@ class TrainConfig:
     # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1
     # disables scanning
     steps_per_dispatch: int = 16
+    # 'dense': exact reference Adam semantics over the full table;
+    # 'sparse': row-sparse lazy Adam on touched rows only (tpurec.train.
+    # sparse) — the HBM-bound optimizer traffic drops by ~vocab/batch_ids
+    embedding_update: str = "dense"
 
 
 @dataclass(frozen=True)

@@ -23,8 +23,9 @@ class AdaSparse(CTRModel):
     (adasparse.py:39-41); domain embedding detached (adasparse.py:100)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         domain_embed = jax.lax.stop_gradient(emb[:, self.domain_idx, :])
 
         h = flat

@@ -41,8 +41,9 @@ class ADL(CTRModel):
     """Returns [B] logits, each row through its DLM-routed tower."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         B = flat.shape[0]
         T = self.n_tower
 

@@ -15,8 +15,9 @@ class AutoInt(CTRModel):
     (autoint.py:48-65); atten_embed_dim=64 per run.py:335."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         cross_term = FieldAttention(
             atten_embed_dim=self.cfg.atten_embed_dim,
             att_layer_num=self.cfg.att_layer_num,

@@ -89,7 +89,16 @@ class CTRModel(nn.Module):
     def embed_output_dim(self) -> int:
         return self.field_num * self.embed_dim
 
-    def embed(self, x):
-        """-> ([B, F*D] flat, [B, F, D])"""
-        emb = FusedEmbedding(self.field_dims, self.embed_dim, name="embedding")(x)
+    def embed(self, x, embed_rows=None):
+        """-> ([B, F*D] flat, [B, F, D]).
+
+        ``embed_rows`` ([B*F, D]) bypasses the table lookup with
+        pre-gathered rows — the hook for the row-sparse embedding-update
+        training path (tpurec.train.sparse): gradients then flow to the
+        gathered rows instead of materializing a dense [V, D] gradient.
+        """
+        if embed_rows is not None:
+            emb = embed_rows.reshape(x.shape[0], self.field_num, self.embed_dim)
+        else:
+            emb = FusedEmbedding(self.field_dims, self.embed_dim, name="embedding")(x)
         return emb.reshape(emb.shape[0], -1), emb

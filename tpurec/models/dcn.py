@@ -15,8 +15,9 @@ class DCN(CTRModel):
     (dcn.py:36-43); n_cross_layers=3 (run.py:321)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, _ = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, _ = self.embed(x, embed_rows)
         cn_out = CrossNetwork(self.cfg.n_cross_layers, name="cn")(flat)
         mlp_out = MLP(self.cfg.mlp_dims, self.cfg.dropout, output_layer=False, name="mlp")(
             flat, train=train, mask=row_mask

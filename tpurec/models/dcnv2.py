@@ -16,8 +16,9 @@ class DCNv2(CTRModel):
     parallel, n_cross_layers=3 per run.py:328)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, _ = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, _ = self.embed(x, embed_rows)
         if self.cfg.dcnv2_use_low_rank_mixture:
             cross_out = CrossNetMix(
                 num_layers=self.cfg.n_cross_layers,

@@ -17,8 +17,9 @@ class DeepFM(CTRModel):
     """
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         logit = (
             Linear(1, name="linear")(flat)
             + FactorizationMachine(name="fm")(emb)

@@ -22,8 +22,9 @@ class HiNet(CTRModel):
     Returns [B] logits (single head; group selects the scenario features)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         B = flat.shape[0]
         T = self.n_tower
         E = self.cfg.sei_expert_num

@@ -21,8 +21,9 @@ class MMoE(CTRModel):
     expert_dims=(256,128,64), tower_dims=(64,32) (config.py:34-36)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         n_expert = self.cfg.mmoe_n_expert
 
         # experts: [B, E, H] in one pass (replaces mmoe.py:56-58 loop)

@@ -72,8 +72,9 @@ class PEPNet(CTRModel):
     use_ppnet: bool = True
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         domain_embed = emb[:, self.domain_idx, :]  # [B, D]
 
         # EPNet: detached-embedding gate (pepnet.py:79,133-134)

@@ -81,8 +81,9 @@ class PLE(CTRModel):
     tower_dims=(64,32) (config.py:39-42)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         expert_dims = self.cfg.ple_expert_dims
         n_level = len(expert_dims)
 

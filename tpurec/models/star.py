@@ -69,8 +69,9 @@ class STAR(CTRModel):
     row's group tower (equivalent to the reference's mask-gather-concat)."""
 
     @nn.compact
-    def __call__(self, x, group=None, train: bool = False, row_mask=None):
-        flat, emb = self.embed(x)
+    def __call__(self, x, group=None, train: bool = False, row_mask=None,
+                 embed_rows=None):
+        flat, emb = self.embed(x, embed_rows)
         B = flat.shape[0]
         T = self.n_tower
         if group is None:

@@ -99,22 +99,44 @@ class Trainer:
             cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
         )
         tx = make_optimizer(cfg.train)
+        self.sparse_embedding = cfg.train.embedding_update == "sparse"
+        if self.sparse_embedding:
+            from tpurec.train.sparse import (
+                init_sparse_opt_state,
+                make_sparse_train_step,
+            )
+
+            opt_state = init_sparse_opt_state(params, tx)
+        else:
+            opt_state = tx.init(params)
         self.state = TrainState(
             params=params,
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             model_state=model_state,
             step=jnp.zeros((), jnp.int32),
         )
         if mesh is not None and shardings is not None:
             self.state = jax.device_put(self.state, shardings.state_sharding(self.state))
-        self.train_step, self.tx = make_train_step(
-            self.model, cfg.train, self.reg_coefs, self.multi_tower,
-            self.mutable_keys, optimizer=tx,
-        )
-        self.scan_steps, _ = make_scan_train_steps(
-            self.model, cfg.train, self.reg_coefs, self.multi_tower,
-            self.mutable_keys, optimizer=tx,
-        )
+        if self.sparse_embedding:
+            self.train_step, self.tx = make_sparse_train_step(
+                self.model, cfg.train, self.reg_coefs, self.multi_tower,
+                self.mutable_keys, l2_reg_embedding=cfg.model.l2_reg_embedding,
+                optimizer=tx,
+            )
+            self.scan_steps, _ = make_sparse_train_step(
+                self.model, cfg.train, self.reg_coefs, self.multi_tower,
+                self.mutable_keys, l2_reg_embedding=cfg.model.l2_reg_embedding,
+                optimizer=tx, scan_k=cfg.train.steps_per_dispatch,
+            )
+        else:
+            self.train_step, self.tx = make_train_step(
+                self.model, cfg.train, self.reg_coefs, self.multi_tower,
+                self.mutable_keys, optimizer=tx,
+            )
+            self.scan_steps, _ = make_scan_train_steps(
+                self.model, cfg.train, self.reg_coefs, self.multi_tower,
+                self.mutable_keys, optimizer=tx,
+            )
         self.eval_step = make_eval_step(self.model, self.multi_tower)
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.stopper = EarlyStopper(cfg.train.early_stop)

@@ -1,0 +1,186 @@
+"""Row-sparse embedding updates (lazy Adam for the fused table).
+
+On CTR models the embedding table dominates the parameter count (26.7M of
+27.3M params at Ali-CCP scale), so a dense Adam step moves ~0.75GB of
+moments/params per step and the training step is HBM-bound on optimizer
+traffic, not compute.  But each batch touches at most B*F table rows —
+the TPU-native fix is to differentiate w.r.t. the GATHERED ROWS and update
+only the touched rows:
+
+  1. rows = table[x + offsets]                (forward gather, [B*F, D])
+  2. model.apply(..., embed_rows=rows)        (grads flow to ``rows``)
+  3. sort ids + segment-sum duplicate rows' grads (static shapes)
+  4. lazy Adam on the unique rows: gather m/v rows, torch-Adam math with
+     the global step's bias correction, scatter rows + moments back
+
+Semantics vs the reference (torch dense Adam + dense L2):
+  - untouched rows' Adam moments do NOT decay between touches, and the
+    embedding L2 (layer.py:31) applies only to touched rows — the standard
+    lazy/sparse-Adam trade (cf. torch.optim.SparseAdam).  Enable with
+    ``TrainConfig.embedding_update='sparse'``; the default 'dense' path
+    keeps exact reference semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpurec.config import TrainConfig
+from tpurec.train.reg import regularization_loss
+from tpurec.train.step import TrainState, bce_with_logits, make_optimizer, select_tower
+
+EMBED_PATH = ("embedding", "table")
+
+
+def split_embedding(params) -> Tuple[Any, Any]:
+    """-> (table, params_without_table_gradient_path)."""
+    table = params["embedding"]["table"]
+    rest = dict(params)
+    rest.pop("embedding")
+    return table, rest
+
+
+def combine_duplicate_rows(ids, g_rows, vocab_size: int):
+    """Sort ids, segment-sum duplicates (static shapes).
+
+    -> (seg_ids [N] with out-of-range sentinel for padding segments,
+        g_unique [N, D] where row j is segment j's summed gradient)."""
+    N = ids.shape[0]
+    order = jnp.argsort(ids)
+    sid = jnp.take(ids, order)
+    sg = jnp.take(g_rows, order, axis=0)
+    head = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1  # [N]
+    g_u = jax.ops.segment_sum(sg, seg, num_segments=N)
+    id_u = jax.ops.segment_max(sid, seg, num_segments=N)
+    n_seg = seg[-1] + 1
+    valid = jnp.arange(N) < n_seg
+    id_u = jnp.where(valid, id_u, vocab_size)  # sentinel -> dropped scatter
+    return id_u, g_u, valid
+
+
+class SparseEmbedState(flax.struct.PyTreeNode):
+    m: Any
+    v: Any
+
+
+def make_sparse_train_step(
+    model,
+    tcfg: TrainConfig,
+    reg_coefs,
+    multi_tower: bool,
+    mutable_keys,
+    l2_reg_embedding: float,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    scan_k: Optional[int] = None,
+):
+    """Train step (or K-step scan when ``scan_k``) with row-sparse embedding
+    updates.  ``reg_coefs`` is the usual full coefficient tree; the table's
+    entry is stripped here (its L2 applies sparsely to the touched rows via
+    ``l2_reg_embedding``).
+
+    TrainState.opt_state is (optax_state_for_rest_params, SparseEmbedState).
+    """
+    tx = optimizer if optimizer is not None else make_optimizer(tcfg)
+    mutable_keys = tuple(mutable_keys)
+    reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
+    offsets = np.concatenate(
+        [[0], np.cumsum(model.field_dims)[:-1]]
+    ).astype(np.int32)
+    vocab = int(sum(model.field_dims))
+    b1, b2, eps, lr, wd = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr, tcfg.wd
+
+    def loss_fn(rest_params, rows, model_state, batch, rng):
+        # with embed_rows given, the FusedEmbedding submodule is never
+        # constructed, so params need not contain the table at all
+        out, new_state = model.apply(
+            {"params": rest_params, **model_state},
+            batch["x"],
+            group=batch.get("group"),
+            train=True,
+            row_mask=batch.get("mask"),
+            mutable=list(mutable_keys),
+            rngs={"dropout": rng},
+            embed_rows=rows,
+        )
+        logit = select_tower(out, batch["group"]) if multi_tower else out
+        loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+        loss = loss + regularization_loss(rest_params, reg_coefs_rest)
+        return loss, new_state
+
+    def one_step(carry, batch_rng):
+        ts = carry
+        batch, rng = batch_rng
+        table = ts.params["embedding"]["table"]
+        rest = {k: v for k, v in ts.params.items() if k != "embedding"}
+        opt_rest, emb_opt = ts.opt_state
+
+        flat_ids = (batch["x"].astype(jnp.int32) + offsets[None, :]).reshape(-1)
+        rows = jnp.take(table, flat_ids, axis=0)
+
+        (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, rows, ts.model_state, batch, rng)
+
+        # dense-net update via optax over the REST tree only — the table is
+        # excluded entirely (even zero-grad optax traffic would be dense)
+        updates, new_opt_rest = tx.update(g_rest, opt_rest, rest)
+        new_rest = optax.apply_updates(rest, updates)
+        new_params = {**new_rest, "embedding": {"table": table}}
+
+        # lazy Adam on the touched table rows
+        id_u, g_u, valid = combine_duplicate_rows(flat_ids, g_rows, vocab)
+        safe = jnp.minimum(id_u, vocab - 1)
+        rows_u = jnp.take(table, safe, axis=0)
+        # reference-style L2 (layer.py:31) + torch weight_decay, touched rows
+        g_u = g_u + (2.0 * l2_reg_embedding + wd) * rows_u
+        m_u = b1 * jnp.take(emb_opt.m, safe, axis=0) + (1 - b1) * g_u
+        v_u = b2 * jnp.take(emb_opt.v, safe, axis=0) + (1 - b2) * jnp.square(g_u)
+        t = (ts.step + 1).astype(jnp.float32)
+        m_hat = m_u / (1 - b1 ** t)
+        v_hat = v_u / (1 - b2 ** t)
+        upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+        new_table = new_params["embedding"]["table"].at[id_u].add(
+            -upd, mode="drop"
+        )
+        new_m = emb_opt.m.at[id_u].set(m_u, mode="drop")
+        new_v = emb_opt.v.at[id_u].set(v_u, mode="drop")
+        new_params["embedding"]["table"] = new_table
+
+        new_ts = ts.replace(
+            params=new_params,
+            opt_state=(new_opt_rest, SparseEmbedState(m=new_m, v=new_v)),
+            model_state=new_state,
+            step=ts.step + 1,
+        )
+        return new_ts, loss
+
+    if scan_k:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_steps(ts: TrainState, batches, rngs):
+            return jax.lax.scan(one_step, ts, (batches, rngs))
+
+        return scan_steps, tx
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(ts: TrainState, batch, rng):
+        return one_step(ts, (batch, rng))
+
+    return train_step, tx
+
+
+def init_sparse_opt_state(params, tx):
+    table = params["embedding"]["table"]
+    rest = {k: v for k, v in params.items() if k != "embedding"}
+    return (
+        tx.init(rest),
+        SparseEmbedState(m=jnp.zeros_like(table), v=jnp.zeros_like(table)),
+    )
