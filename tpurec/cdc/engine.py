@@ -733,26 +733,23 @@ class CDCTrainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, batcher: DomainBatcher) -> Dict:
-        """Split-mode eval over the per-domain batch sequence (run.py:653-661)."""
-        targets, predicts, domains = [], [], []
-        for d in range(self.n_domain):
-            X = batcher.dom_X[d]
-            y = batcher.dom_y[d]
-            bs = self.cfg.train.bs
-            for s in range(0, len(y), bs):
-                batch = pad_batch(X[s:s + bs], y[s:s + bs], None, bs)
-                p = self._predict_split(
-                    self.state.params, self.state.model_state,
-                    {k: jnp.asarray(v) for k, v in batch.items()},
-                    self.domain2group_dev,
-                )
-                m = batch["mask"] > 0
-                predicts.append(np.asarray(p)[m])
-                targets.append(y[s:s + bs])
-                domains.append(np.full(int(m.sum()), d))
-        targets = np.concatenate(targets)
-        predicts = np.concatenate(predicts)
-        domains = np.concatenate(domains)
+        """Split-mode eval (run.py:653-661).  Rows are routed per-row by
+        domain2group inside predict, so flat [bs] batches over the whole
+        split suffice; per-domain grouping happens host-side in metrics."""
+        bs = self.cfg.train.bs
+        X = np.concatenate(batcher.dom_X, axis=0)
+        y = np.concatenate(batcher.dom_y, axis=0)
+        doms = X[:, self.domain_idx]
+        preds = []
+        for s in range(0, len(y), bs):
+            batch = pad_batch(X[s:s + bs], y[s:s + bs], None, bs)
+            p = self._predict_split(
+                self.state.params, self.state.model_state,
+                {k: jnp.asarray(v) for k, v in batch.items()},
+                self.domain2group_dev,
+            )
+            preds.append(np.asarray(p)[batch["mask"] > 0])
+        targets, predicts, domains = y, np.concatenate(preds), doms
         result = {
             "total_auc": auc_score(targets, predicts),
             "total_loss": log_loss_score(targets, predicts),

@@ -135,24 +135,25 @@ def make_sparse_train_step(
         new_rest = optax.apply_updates(rest, updates)
         new_params = {**new_rest, "embedding": {"table": table}}
 
-        # lazy Adam on the touched table rows
-        id_u, g_u, valid = combine_duplicate_rows(flat_ids, g_rows, vocab)
-        safe = jnp.minimum(id_u, vocab - 1)
-        rows_u = jnp.take(table, safe, axis=0)
+        # lazy Adam on the touched table rows.  Duplicate ids are combined
+        # by ONE dense scatter-add (cheaper on TPU than a sort-based
+        # segment-sum: a [N] bitonic sort costs more than a 1-pass scatter);
+        # every per-occurrence update below is idempotent (.set with
+        # identical values), so duplicates are harmless.
+        g_dense = jnp.zeros_like(table).at[flat_ids].add(g_rows)
+        g_u = jnp.take(g_dense, flat_ids, axis=0)  # combined grad per occurrence
         # reference-style L2 (layer.py:31) + torch weight_decay, touched rows
-        g_u = g_u + (2.0 * l2_reg_embedding + wd) * rows_u
-        m_u = b1 * jnp.take(emb_opt.m, safe, axis=0) + (1 - b1) * g_u
-        v_u = b2 * jnp.take(emb_opt.v, safe, axis=0) + (1 - b2) * jnp.square(g_u)
+        g_u = g_u + (2.0 * l2_reg_embedding + wd) * rows
+        m_u = b1 * jnp.take(emb_opt.m, flat_ids, axis=0) + (1 - b1) * g_u
+        v_u = b2 * jnp.take(emb_opt.v, flat_ids, axis=0) + (1 - b2) * jnp.square(g_u)
         t = (ts.step + 1).astype(jnp.float32)
         m_hat = m_u / (1 - b1 ** t)
         v_hat = v_u / (1 - b2 ** t)
         upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-        new_table = new_params["embedding"]["table"].at[id_u].add(
-            -upd, mode="drop"
-        )
-        new_m = emb_opt.m.at[id_u].set(m_u, mode="drop")
-        new_v = emb_opt.v.at[id_u].set(v_u, mode="drop")
+        new_table = new_params["embedding"]["table"].at[flat_ids].set(rows - upd)
+        new_m = emb_opt.m.at[flat_ids].set(m_u)
+        new_v = emb_opt.v.at[flat_ids].set(v_u)
         new_params["embedding"]["table"] = new_table
 
         new_ts = ts.replace(
