@@ -9,12 +9,13 @@ schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
 (config.py:7) and 50 domains, 26.7M params.
 
 Measures steady-state examples/sec/chip of the K=16-step scanned train
-dispatch with row-sparse embedding updates (tpurec.train.sparse — the
-dense-Adam reference semantics is HBM-bound on ~0.75GB of optimizer
-traffic per step; the lazy-Adam path updates only the <=11.8k touched
-rows).  Timing is hard-synced by fetching the final losses to host (the
-remote-TPU runtime's block_until_ready can return before the dispatch
-chain completes).
+dispatch with exact reference (dense-Adam) semantics and the rbg PRNG for
+dropout bits.  Row-sparse lazy-Adam (tpurec.train.sparse) exists but at
+this table size (1.6M rows) XLA's serialized TPU scatters cost more than
+the ~1.0ms of dense Adam HBM traffic; breakeven is ~5M rows.  Timing is
+hard-synced by fetching the final losses to host (the remote-TPU
+runtime's block_until_ready can return before the dispatch chain
+completes).
 
 The reference repo publishes no benchmark numbers (README.md:1-2,
 BASELINE.md), so vs_baseline compares against the previous round's
@@ -44,20 +45,21 @@ WARMUP, MEASURE = 2, 8
 
 def main():
     import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # cheap dropout bits
     import jax.numpy as jnp
 
     from tpurec.config import ModelConfig, TrainConfig
     from tpurec.models import build_model
     from tpurec.train.reg import reg_coef_tree
-    from tpurec.train.sparse import init_sparse_opt_state, make_sparse_train_step
-    from tpurec.train.step import TrainState, make_optimizer
+    from tpurec.train.step import TrainState, make_optimizer, make_scan_train_steps
 
     mcfg = ModelConfig(
         model="mmoe", embed_dim=16,
         mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
         use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
     )
-    tcfg = TrainConfig(bs=BS, embedding_update="sparse")
+    tcfg = TrainConfig(bs=BS)
     model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)
@@ -77,12 +79,12 @@ def main():
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
     tx = make_optimizer(tcfg)
     state = TrainState(
-        params=params, opt_state=init_sparse_opt_state(params, tx),
+        params=params, opt_state=tx.init(params),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
-    scan_steps, _ = make_sparse_train_step(
-        model, tcfg, reg, multi_tower=True, mutable_keys=tuple(model_state.keys()),
-        l2_reg_embedding=1e-5, optimizer=tx, scan_k=K,
+    scan_steps, _ = make_scan_train_steps(
+        model, tcfg, reg, multi_tower=True,
+        mutable_keys=tuple(model_state.keys()), optimizer=tx,
     )
     step_rng = jax.random.PRNGKey(1)
 

@@ -19,6 +19,12 @@ Semantics vs the reference (torch dense Adam + dense L2):
     lazy/sparse-Adam trade (cf. torch.optim.SparseAdam).  Enable with
     ``TrainConfig.embedding_update='sparse'``; the default 'dense' path
     keeps exact reference semantics.
+
+When it pays off: TPU scatters serialize per index, so the sparse path
+costs ~constant extra scatter/gather time per step (~2.5ms at B*F=11.8k
+rows) while dense Adam traffic grows with the vocab (measured ~1.0ms at
+1.6M x 16).  Breakeven is roughly a 5M-row table at embed_dim=16; below
+that, prefer 'dense' (it is also the exact-semantics path).
 """
 
 from __future__ import annotations
