@@ -72,3 +72,30 @@ def test_cdc_snapshot_rollback_restores_params(data):
     leaves_a = jax.tree_util.tree_leaves(opt_after_burst)
     leaves_b = jax.tree_util.tree_leaves(opt_now)
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_cdc_checkpoint_roundtrip(tmp_path, data):
+    cfg = _cfg("mmoe")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.setup_data(data.train, data.valid)
+    tr.cluster.domain2group = np.array([0, 1, 0, 1, 0, 1])
+    tr.cluster.t_group2domain_list = [[0, 2, 4], [1, 3, 5]]
+    tr.cluster.s_group2domain_list = [[0, 2], [1, 3, 5]]
+    tr.cluster.call_update_group = 3
+    path = str(tmp_path / "cdc.pkl")
+    tr.save_checkpoint(path, extra={"note": 1})
+
+    tr2 = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    payload = tr2.load_checkpoint(path)
+    assert payload["extra"]["note"] == 1
+    assert tr2.cluster.domain2group_list == [0, 1, 0, 1, 0, 1]
+    assert tr2.cluster.s_group2domain_list == [[0, 2], [1, 3, 5]]
+    assert tr2.cluster.call_update_group == 3
+    import jax
+
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # setup_data after restore must NOT clobber the restored cluster
+    tr2.setup_data(data.train, data.valid)
+    assert tr2.cluster.call_update_group == 3

@@ -351,7 +351,10 @@ class CDCTrainer:
             )
             if test is not None else None
         )
-        self.cluster = CDCClusterState.create(self.n_domain, self.n_cluster, self.cfg.cdc)
+        if getattr(self, "cluster", None) is None:
+            self.cluster = CDCClusterState.create(
+                self.n_domain, self.n_cluster, self.cfg.cdc
+            )
         # device-resident training arrays; the hot loop only ships indices
         self.Xdev = jnp.asarray(Xtr, jnp.int32)
         self.ydev = jnp.asarray(ytr.astype(np.float32).reshape(-1))
@@ -765,6 +768,58 @@ class CDCTrainer:
 
     def restore_bytes(self, blob: bytes):
         self.state = flax.serialization.from_bytes(self.state, blob)
+
+    def save_checkpoint(self, path: str, extra: Optional[Dict] = None):
+        """Persist train state + the clustering state — the cluster
+        assignment is part of CDC's checkpoint semantics (run.py:455-457
+        saves domain2group_list and s_group2domain_list alongside the
+        model)."""
+        import pickle
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {
+            "state": self.snapshot_bytes(),
+            "domain2group_list": list(self.cluster.domain2group_list),
+            "s_group2domain_list": [list(g) for g in self.cluster.s_group2domain_list],
+            "t_group2domain_list": [list(g) for g in self.cluster.t_group2domain_list],
+            "initial_s_group2domain_list": (
+                [list(g) for g in self.cluster.initial_s_group2domain_list]
+                if self.cluster.initial_s_group2domain_list is not None else None
+            ),
+            "call_update_group": self.cluster.call_update_group,
+            "p_weight": self.cluster.p_weight,
+            "matrices": {
+                "A": self.cluster.matrix_A, "B": self.cluster.matrix_B,
+                "mask": self.cluster.matrix_mask,
+                "causal": self.cluster.matrix_causal,
+            },
+            "best_result": self.stopper.best_result,
+            "extra": extra or {},
+        }
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str) -> Dict:
+        import pickle
+
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.restore_bytes(payload["state"])
+        if getattr(self, "cluster", None) is None:
+            self.cluster = CDCClusterState.create(
+                self.n_domain, self.n_cluster, self.cfg.cdc
+            )
+        st = self.cluster
+        st.domain2group = np.asarray(payload["domain2group_list"], np.int64)
+        st.s_group2domain_list = payload["s_group2domain_list"]
+        st.t_group2domain_list = payload["t_group2domain_list"]
+        st.initial_s_group2domain_list = payload["initial_s_group2domain_list"]
+        st.call_update_group = payload["call_update_group"]
+        st.p_weight = payload["p_weight"]
+        m = payload["matrices"]
+        st.matrix_A, st.matrix_B = m["A"], m["B"]
+        st.matrix_mask, st.matrix_causal = m["mask"], m["causal"]
+        return payload
 
     def fit(self, train, valid, test=None, log_fn=None) -> Dict:
         self.setup_data(train, valid, test)

@@ -191,10 +191,7 @@ def main(argv=None):
 
         tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx)
         if args.resume:
-            with open(args.resume, "rb") as f:
-                import pickle
-
-                tr.restore_bytes(pickle.load(f)["state"])
+            tr.load_checkpoint(args.resume)
         out = tr.fit(train, valid, test=test, log_fn=logger)
     else:
         from tpurec.train import Trainer
