@@ -154,19 +154,20 @@ class CDCTrainer:
 
         def gated_scan_steps(mode, ts, Xdev, ydev, idxs, masks, valids, rngs,
                              domain2group):
-            """Fixed-length scan where steps with valid=0 are fully discarded
-            (params/opt/stats selected back).  Lets variable-length treatment
-            bursts share ONE compiled shape instead of one per length."""
+            """Fixed-length scan where steps with valid=0 are skipped.  Lets
+            variable-length treatment bursts share ONE compiled shape instead
+            of one per length.  lax.cond executes only the taken branch on
+            TPU, so padded steps cost ~nothing."""
 
             def body(ts, xs):
                 idx, mask, valid, rng = xs
-                new_ts, loss = one_step(
-                    mode, ts, Xdev, ydev, idx, mask, rng, domain2group
+                return jax.lax.cond(
+                    valid > 0,
+                    lambda t: one_step(mode, t, Xdev, ydev, idx, mask, rng,
+                                       domain2group),
+                    lambda t: (t, jnp.zeros((), jnp.float32)),
+                    ts,
                 )
-                sel = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(valid > 0, a, b), new_ts, ts
-                )
-                return sel, loss
 
             return jax.lax.scan(body, ts, (idxs, masks, valids, rngs))
 
@@ -228,13 +229,15 @@ class CDCTrainer:
 
                 def body(ts, step_xs):
                     idx, mask, valid, rng = step_xs
-                    new_ts, loss = one_step(
-                        "split", ts, Xdev, ydev, idx, mask, rng, domain2group
+                    # lax.cond executes only the taken branch: padded steps
+                    # (valid=0) of the fixed-length burst cost ~nothing
+                    return jax.lax.cond(
+                        valid > 0,
+                        lambda t: one_step("split", t, Xdev, ydev, idx, mask,
+                                           rng, domain2group),
+                        lambda t: (t, jnp.zeros((), jnp.float32)),
+                        ts,
                     )
-                    sel = jax.tree_util.tree_map(
-                        lambda a, b: jnp.where(valid > 0, a, b), new_ts, ts
-                    )
-                    return sel, loss
 
                 step_rngs = jax.vmap(
                     lambda i: jax.random.fold_in(rrng, i)
