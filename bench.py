@@ -9,13 +9,13 @@ schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
 (config.py:7) and 50 domains, 26.7M params.
 
 Measures steady-state examples/sec/chip of the K=16-step scanned train
-dispatch with exact reference (dense-Adam) semantics and the rbg PRNG for
-dropout bits.  Row-sparse lazy-Adam (tpurec.train.sparse) exists but at
-this table size (1.6M rows) XLA's serialized TPU scatters cost more than
-the ~1.0ms of dense Adam HBM traffic; breakeven is ~5M rows.  Timing is
-hard-synced by fetching the final losses to host (the remote-TPU
-runtime's block_until_ready can return before the dispatch chain
-completes).
+dispatch with exact reference (dense-Adam + dense embedding L2) semantics
+via the hybrid small/big-field update (tpurec.train.hybrid: small-vocab
+fields' grads as per-slice matmuls, big-field rows two-phase-corrected —
+bit-equivalent to dense Adam, ~40% faster at this table size) and the rbg
+PRNG for dropout bits.  Timing is hard-synced by fetching the final
+losses to host (the remote-TPU runtime's block_until_ready can return
+before the dispatch chain completes).
 
 The reference repo publishes no benchmark numbers (README.md:1-2,
 BASELINE.md), so vs_baseline compares against the previous round's
@@ -51,8 +51,10 @@ def main():
 
     from tpurec.config import ModelConfig, TrainConfig
     from tpurec.models import build_model
+    from tpurec.train.hybrid import make_hybrid_train_step
     from tpurec.train.reg import reg_coef_tree
-    from tpurec.train.step import TrainState, make_optimizer, make_scan_train_steps
+    from tpurec.train.sparse import init_sparse_opt_state
+    from tpurec.train.step import TrainState, make_optimizer
 
     mcfg = ModelConfig(
         model="mmoe", embed_dim=16,
@@ -79,12 +81,13 @@ def main():
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
     tx = make_optimizer(tcfg)
     state = TrainState(
-        params=params, opt_state=tx.init(params),
+        params=params, opt_state=init_sparse_opt_state(params, tx),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
-    scan_steps, _ = make_scan_train_steps(
+    scan_steps, _ = make_hybrid_train_step(
         model, tcfg, reg, multi_tower=True,
-        mutable_keys=tuple(model_state.keys()), optimizer=tx,
+        mutable_keys=tuple(model_state.keys()),
+        l2_reg_embedding=1e-5, optimizer=tx, scan_k=K,
     )
     step_rng = jax.random.PRNGKey(1)
 

@@ -77,13 +77,13 @@ def gen_data():
     return csv
 
 
-def run_reference(model: str, epochs: int):
+def run_reference(model: str, epochs: int, strategy: str = "mix"):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{WORK}/wandb_stub:{WORK}:/root/reference"
     cmd = [sys.executable, "/root/reference/main.py", "--model", model,
            "--dataset_name", "amazon", "--bs", "512", "--embed_dim", "16",
            "--epoch", str(epochs), "--lr", "1e-3", "--is_set_seed", "1",
-           "--seed", "7"]
+           "--seed", "7", "--group_strategy", strategy]
     r = subprocess.run(cmd, cwd=WORK, env=env, capture_output=True,
                        text=True, timeout=3600)
     lines = [l for l in r.stdout.splitlines() if "validation" in l]
@@ -93,7 +93,7 @@ def run_reference(model: str, epochs: int):
     return lines
 
 
-def run_ours(model: str, epochs: int, csv: str):
+def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix"):
     sys.path.insert(0, REPO)
     import numpy as np
     import pandas as pd
@@ -132,8 +132,9 @@ def run_ours(model: str, epochs: int, csv: str):
     }
     mcfg = ModelConfig(model=model, **kw, **per_model.get(model, {}))
     cfg = Config(model=mcfg, train=TrainConfig(bs=512, epoch=epochs, seed=7))
-    tr = Trainer(cfg, field_dims, n_domain, 3,
-                 domain2group=np.zeros(n_domain, np.int64))
+    d2g = (np.arange(n_domain, dtype=np.int64) if strategy == "split"
+           else np.zeros(n_domain, np.int64))
+    tr = Trainer(cfg, field_dims, n_domain, 3, domain2group=d2g)
     out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
                  test=(X[te_m], y[te_m]), domain_cnt_weight=w)
     print(f"OURS {model}: valid_auc={out['valid']['total_auc']:.4f} "
@@ -155,12 +156,17 @@ def main():
     setup_workdir()
     csv = gen_data()
     for m in args.models.split(","):
+        # reference epnet/hinet squeeze their n_tower=1 output and crash
+        # under mix (run.py:484); their working config is group split
+        strategy = "split" if ":" not in m and m in ("epnet", "hinet") else "mix"
+        if ":" in m:
+            m, strategy = m.split(":")
         if not args.skip_reference:
             try:
-                run_reference(m, args.epochs)
+                run_reference(m, args.epochs, strategy)
             except Exception as e:  # reference crashes on torch>=2.6 reload
                 print(f"REFERENCE {m} errored: {e}")
-        run_ours(m, args.epochs, csv)
+        run_ours(m, args.epochs, csv, strategy)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+"""Hybrid small/big-field embedding update: exact equivalence with the
+dense reference path (tpurec/train/hybrid.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpurec.config import Config, ModelConfig, TrainConfig
+from tpurec.models import build_model
+from tpurec.train.hybrid import make_hybrid_train_step
+from tpurec.train.reg import reg_coef_tree
+from tpurec.train.sparse import init_sparse_opt_state
+from tpurec.train.step import TrainState, make_optimizer, make_train_step
+
+# field 1 and 4 are "big" with threshold 20
+FIELD_DIMS = (16, 64, 12, 8, 40)
+DOMAIN_IDX = 3
+BS = 32
+CFG = ModelConfig(model="mmoe", embed_dim=4, mmoe_expert_dims=(8,),
+                  mmoe_tower_dims=(4,), use_atten=False, dropout=0.0)
+
+
+def _mk(mode: str, wd=1e-8, l2_emb=1e-5, threshold=20, dup_heavy=False):
+    model = build_model("mmoe", FIELD_DIMS, 2, DOMAIN_IDX, CFG)
+    tcfg = TrainConfig(bs=BS, wd=wd)
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, d, BS) for d in FIELD_DIMS], 1).astype(np.int32)
+    if dup_heavy:
+        # many duplicate big-field ids in one batch
+        x[:, 1] = rng.integers(0, 3, BS)
+        x[:, 4] = rng.integers(0, 2, BS)
+    batch = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(rng.integers(0, 2, BS).astype(np.float32)),
+        "group": jnp.asarray((x[:, DOMAIN_IDX] % 2).astype(np.int32)),
+        "mask": jnp.ones((BS,), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["x"])
+    params = variables["params"]
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(tcfg)
+    reg = reg_coef_tree(params, "mmoe", l2_emb, l2_emb, l2_emb)
+    if mode == "hybrid":
+        step, _ = make_hybrid_train_step(
+            model, tcfg, reg, True, tuple(ms.keys()),
+            l2_reg_embedding=l2_emb, optimizer=tx,
+            big_vocab_threshold=threshold,
+        )
+        opt = init_sparse_opt_state(params, tx)
+    else:
+        step, _ = make_train_step(model, tcfg, reg, True, tuple(ms.keys()),
+                                  optimizer=tx)
+        opt = tx.init(params)
+    st = TrainState(params=params, opt_state=opt, model_state=ms,
+                    step=jnp.zeros((), jnp.int32))
+    return model, st, batch, step, tx, reg, ms
+
+
+@pytest.mark.parametrize("dup_heavy", [False, True])
+@pytest.mark.parametrize("threshold", [20, 0, 10**9])
+def test_hybrid_matches_dense_exactly(threshold, dup_heavy):
+    """Hybrid must reproduce dense Adam + dense embedding L2 step-by-step:
+    with threshold=0 every field is 'big' (pure two-phase correction),
+    with threshold=inf every field is 'small' (pure matmul grads)."""
+    _, st_d, batch, step_d, *_ = _mk("dense", dup_heavy=dup_heavy)
+    _, st_h, _, step_h, *_ = _mk("hybrid", threshold=threshold,
+                                 dup_heavy=dup_heavy)
+
+    for i in range(4):
+        r = jax.random.PRNGKey(i)
+        st_d, loss_d = step_d(st_d, batch, r)
+        st_h, loss_h = step_h(st_h, batch, r)
+        assert float(loss_d) == pytest.approx(float(loss_h), rel=1e-5), i
+        np.testing.assert_allclose(
+            np.array(st_d.params["embedding"]["table"]),
+            np.array(st_h.params["embedding"]["table"]),
+            atol=2e-6, err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            np.array(st_d.params["experts"]["linear_0"]["weight"]),
+            np.array(st_h.params["experts"]["linear_0"]["weight"]),
+            atol=2e-6, err_msg=f"step {i}",
+        )
+    # moments match the dense optax state too
+    m_dense = None
+    for part in jax.tree_util.tree_leaves_with_path(st_d.opt_state):
+        path = "/".join(str(p) for p in part[0])
+        if "mu" in path and "table" in path:
+            m_dense = part[1]
+    np.testing.assert_allclose(
+        np.array(m_dense), np.array(st_h.opt_state[1].m), atol=1e-7)
+
+
+def test_hybrid_scan_matches_single_steps():
+    _, st_a, batch, step_a, tx, reg, ms = _mk("hybrid")
+    model, st_b, _, _, _, _, _ = _mk("hybrid")
+    scan, _ = make_hybrid_train_step(
+        model, TrainConfig(bs=BS, wd=1e-8), reg, True, tuple(ms.keys()),
+        l2_reg_embedding=1e-5, optimizer=tx, scan_k=3, big_vocab_threshold=20,
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(7), 3)
+    losses_a = []
+    for i in range(3):
+        st_a, l = step_a(st_a, batch, rngs[i])
+        losses_a.append(float(l))
+    batches = {k: jnp.stack([v] * 3) for k, v in batch.items()}
+    st_b, losses_b = scan(st_b, batches, rngs)
+    np.testing.assert_allclose(losses_a, np.array(losses_b), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.array(st_a.params["embedding"]["table"]),
+        np.array(st_b.params["embedding"]["table"]), atol=1e-6)
+
+
+def test_trainer_hybrid_end_to_end():
+    """Trainer with embedding_update='hybrid' (the default) learns."""
+    from tpurec.data import make_synthetic
+    from tpurec.train import Trainer
+
+    data = make_synthetic(n_rows=6000, n_fields=5, n_domain=3, domain_idx=2,
+                          seed=3)
+    cfg = Config(
+        model=ModelConfig(model="mmoe", embed_dim=8, mmoe_expert_dims=(16,),
+                          mmoe_tower_dims=(8,), use_atten=False),
+        train=TrainConfig(bs=256, epoch=2, seed=0, embedding_update="hybrid"),
+    )
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    out = tr.fit(data.train, data.valid,
+                 domain_cnt_weight=data.domain_cnt_weight())
+    assert out["valid"]["total_auc"] > 0.62

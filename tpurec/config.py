@@ -144,10 +144,15 @@ class TrainConfig:
     # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1
     # disables scanning
     steps_per_dispatch: int = 16
-    # 'dense': exact reference Adam semantics over the full table;
+    # 'hybrid' (default): exact dense-Adam semantics via the small/big
+    #   field split (tpurec.train.hybrid) — small-vocab fields' grads
+    #   reduce to per-slice matmuls, big-field rows get two-phase exact
+    #   correction; ~40% less step time than 'dense' at Ali-CCP scale
+    # 'dense': exact reference Adam semantics via autodiff through the
+    #   fused lookup (materializes a [V, D] gradient each step)
     # 'sparse': row-sparse lazy Adam on touched rows only (tpurec.train.
-    # sparse) — the HBM-bound optimizer traffic drops by ~vocab/batch_ids
-    embedding_update: str = "dense"
+    #   sparse) — cheapest at very large vocabs, lazy-Adam semantics
+    embedding_update: str = "hybrid"
 
 
 @dataclass(frozen=True)

@@ -99,12 +99,10 @@ class Trainer:
             cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
         )
         tx = make_optimizer(cfg.train)
-        self.sparse_embedding = cfg.train.embedding_update == "sparse"
+        self.embedding_update = cfg.train.embedding_update
+        self.sparse_embedding = self.embedding_update in ("sparse", "hybrid")
         if self.sparse_embedding:
-            from tpurec.train.sparse import (
-                init_sparse_opt_state,
-                make_sparse_train_step,
-            )
+            from tpurec.train.sparse import init_sparse_opt_state
 
             opt_state = init_sparse_opt_state(params, tx)
         else:
@@ -118,12 +116,16 @@ class Trainer:
         if mesh is not None and shardings is not None:
             self.state = jax.device_put(self.state, shardings.state_sharding(self.state))
         if self.sparse_embedding:
-            self.train_step, self.tx = make_sparse_train_step(
+            if self.embedding_update == "hybrid":
+                from tpurec.train.hybrid import make_hybrid_train_step as mk
+            else:
+                from tpurec.train.sparse import make_sparse_train_step as mk
+            self.train_step, self.tx = mk(
                 self.model, cfg.train, self.reg_coefs, self.multi_tower,
                 self.mutable_keys, l2_reg_embedding=cfg.model.l2_reg_embedding,
                 optimizer=tx,
             )
-            self.scan_steps, _ = make_sparse_train_step(
+            self.scan_steps, _ = mk(
                 self.model, cfg.train, self.reg_coefs, self.multi_tower,
                 self.mutable_keys, l2_reg_embedding=cfg.model.l2_reg_embedding,
                 optimizer=tx, scan_k=cfg.train.steps_per_dispatch,
