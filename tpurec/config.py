@@ -153,6 +153,9 @@ class TrainConfig:
     # 'sparse': row-sparse lazy Adam on touched rows only (tpurec.train.
     #   sparse) — cheapest at very large vocabs, lazy-Adam semantics
     embedding_update: str = "hybrid"
+    # 'pickle' (single-file, sync) or 'orbax' (versioned dirs, async array
+    # writes, multi-host-safe) for Trainer.make_checkpointer
+    checkpoint_backend: str = "pickle"
 
 
 @dataclass(frozen=True)

@@ -178,3 +178,34 @@ class DomainBatcher:
         y = np.concatenate(ys)
         g = np.concatenate(gs) if gs else None
         return pad_batch(X, y, g, n_slots * self.bs)
+
+
+def prefetch_iter(it, depth: int = 2):
+    """Run ``it`` on a worker thread, keeping up to ``depth`` items ready.
+
+    Used to overlap host-side batch stacking + H2D transfer start with
+    device compute (the reference's DataLoader blocks the train loop on
+    every batch).  Exceptions on the worker re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

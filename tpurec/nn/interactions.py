@@ -186,11 +186,54 @@ class FieldMultiHeadAttention(nn.Module):
         return jnp.einsum("bfa,ao->bfo", out, w_out, preferred_element_type=jnp.float32) + b_out
 
 
+class _LinearParams(nn.Module):
+    """Param-holder with the same names/shapes/inits as ``Linear`` so the
+    fused kernel path shares one checkpoint layout with the jnp path."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", tinit.linear_weight_init(self.in_dim),
+                       (self.in_dim, self.features))
+        b = self.param("bias", tinit.linear_bias_init(self.in_dim),
+                       (self.features,))
+        return w, b
+
+
+class _MHAParams(nn.Module):
+    """Param-holder matching ``FieldMultiHeadAttention``'s layout."""
+
+    atten_dim: int
+
+    @nn.compact
+    def __call__(self):
+        A = self.atten_dim
+        w_in = self.param(
+            "in_proj_weight",
+            lambda k, s: _xavier_uniform_2d(k, (s[0], s[1])), (A, 3 * A))
+        b_in = self.param("in_proj_bias", tinit.zeros_init, (3 * A,))
+        w_out = self.param("out_proj_weight", tinit.linear_weight_init(A),
+                           (A, A))
+        b_out = self.param("out_proj_bias", tinit.zeros_init, (A,))
+        return w_in, b_in, w_out, b_out
+
+
 class FieldAttention(nn.Module):
     """AutoInt attention stack: project fields to atten dim, N MHA layers,
     optional V_res residual, ReLU, flatten (autoint.py:48-61, layer.py:71-84).
 
     Input: field embeddings [B, F, D]; output [B, F*atten_embed_dim].
+
+    ``fused=True`` runs the Pallas fused-stack kernel
+    (tpurec.ops.attention_pallas — the whole stack in VMEM); both paths
+    share one parameter layout, eval outputs are bit-identical (dropout
+    bits differ, as between any two dropout implementations).  The kernel
+    is EXPERIMENTAL and off by default: correct (interpret-mode oracle
+    tests), but Mosaic currently takes minutes to compile the unrolled
+    3-layer stack of [Bt,F,F] batched dots at these shapes, which makes
+    it unusable in practice until restructured (see the module docstring).
     """
 
     atten_embed_dim: int
@@ -198,20 +241,44 @@ class FieldAttention(nn.Module):
     att_head_num: int = 2
     att_res: bool = True
     dropout: float = 0.2
+    fused: Optional[bool] = None
 
     @nn.compact
     def __call__(self, embed_x, train: bool = False):
         B, F, D = embed_x.shape
-        atten_x = Linear(self.atten_embed_dim, name="atten_embedding")(embed_x)
+        A = self.atten_embed_dim
+        use_fused = bool(self.fused) and self.att_res \
+            and A % self.att_head_num == 0
+        if use_fused:
+            from tpurec.ops.attention_pallas import fused_field_attention
+
+            w_emb, b_emb = _LinearParams(D, A, name="atten_embedding")()
+            flat = [w_emb, b_emb]
+            flat += list(_LinearParams(D, A, name="V_res_embedding")())
+            for i in range(self.att_layer_num):
+                flat += list(_MHAParams(A, name=f"self_attn_{i}")())
+            if train and self.dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, np.int32(2**31 - 1))
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            interpret = jax.default_backend() == "cpu"
+            out = fused_field_attention(
+                embed_x, flat, seed, self.att_layer_num, self.att_head_num,
+                self.dropout if train else 0.0, bool(train), 128, interpret,
+            )
+            return out.reshape(B, F * A)
+
+        atten_x = Linear(A, name="atten_embedding")(embed_x)
         cross = atten_x
         for i in range(self.att_layer_num):
             cross = FieldMultiHeadAttention(
                 self.att_head_num, dropout=self.dropout, name=f"self_attn_{i}"
             )(cross, train=train)
         if self.att_res:
-            cross = cross + Linear(self.atten_embed_dim, name="V_res_embedding")(embed_x)
+            cross = cross + Linear(A, name="V_res_embedding")(embed_x)
         cross = jax.nn.relu(cross)
-        return cross.reshape(B, F * self.atten_embed_dim)
+        return cross.reshape(B, F * A)
 
 
 # ---------------------------------------------------------------------------

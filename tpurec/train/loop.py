@@ -10,6 +10,20 @@ from __future__ import annotations
 
 import os
 import pickle
+
+def _jsonable(obj):
+    import numpy as _np
+
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, _np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (_np.integer, _np.floating)):
+        return obj.item()
+    return obj
+
 import time
 from typing import Dict, Optional
 
@@ -20,7 +34,7 @@ import numpy as np
 import flax.serialization
 
 from tpurec.config import Config
-from tpurec.data.loader import ArrayBatcher
+from tpurec.data.loader import ArrayBatcher, prefetch_iter
 from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
 from tpurec.models import MULTI_TOWER_OUTPUT, NEEDS_GROUP, build_model
 from tpurec.train.reg import reg_coef_tree
@@ -158,42 +172,60 @@ class Trainer:
         loss_sum, n_batches = 0.0, 0
         log_interval = max(1, self.cfg.train.log_interval_rows // bs)
         K = max(1, self.cfg.train.steps_per_dispatch)
-        pending = []
+        def chunked():
+            """Host side: stack K batches and start their device transfer.
+            Runs on the prefetch thread so stacking/H2D overlaps compute."""
+            pending = []
 
-        def flush_pending():
-            nonlocal loss_sum, n_batches
-            if not pending:
-                return
-            if len(pending) == 1 or K == 1:
-                for b in pending:
-                    self.dropout_rng, r = jax.random.split(self.dropout_rng)
-                    self.state, loss = self.train_step(
-                        self.state, {k: jnp.asarray(v) for k, v in b.items()}, r
-                    )
-                    loss_sum += float(loss)
-                    n_batches += 1
-            else:
-                stacked = {
-                    k: jnp.asarray(np.stack([b[k] for b in pending]))
-                    for k in pending[0]
-                }
-                self.dropout_rng, r = jax.random.split(self.dropout_rng)
-                rngs = jax.random.split(r, len(pending))
+            def emit():
+                if not pending:
+                    return None
+                if len(pending) == 1 or K == 1:
+                    out = [({k: jnp.asarray(v) for k, v in b.items()}, 1, False)
+                           for b in pending]
+                else:
+                    stacked = {
+                        k: jnp.asarray(np.stack([b[k] for b in pending]))
+                        for k in pending[0]
+                    }
+                    out = [(stacked, len(pending), True)]
+                pending.clear()
+                return out
+
+            for i, batch in enumerate(batcher):
+                pending.append(batch)
+                if len(pending) == K:
+                    yield from emit()
+            e = emit()
+            if e:
+                yield from e
+
+        device_losses = []
+
+        def synced_loss():
+            nonlocal loss_sum, device_losses
+            for l in device_losses:
+                loss_sum += float(jnp.sum(l))
+            device_losses = []
+            return loss_sum / max(n_batches, 1)
+
+        rows_since_log = 0
+        for stacked, count, is_scan in prefetch_iter(chunked(), depth=2):
+            self.dropout_rng, r = jax.random.split(self.dropout_rng)
+            if is_scan:
+                rngs = jax.random.split(r, count)
                 self.state, losses = self.scan_steps(self.state, stacked, rngs)
-                loss_sum += float(jnp.sum(losses))
-                n_batches += len(pending)
-            pending.clear()
-
-        for i, batch in enumerate(batcher):
-            pending.append(batch)
-            if len(pending) == K:
-                flush_pending()
-            if log_fn is not None and (i + 1) % log_interval == 0:
-                flush_pending()
-                log_fn({"train_loss": loss_sum / max(n_batches, 1),
-                        "epoch": epoch_i, "it": i})
-        flush_pending()
-        return loss_sum / max(n_batches, 1)
+            else:
+                self.state, losses = self.train_step(self.state, stacked, r)
+            # keep losses on device; host-sync only at log points / epoch end
+            device_losses.append(losses)
+            n_batches += count
+            rows_since_log += count
+            if log_fn is not None and rows_since_log >= log_interval:
+                log_fn({"train_loss": synced_loss(), "epoch": epoch_i,
+                        "it": n_batches})
+                rows_since_log = 0
+        return synced_loss()
 
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
@@ -244,6 +276,31 @@ class Trainer:
             payload = pickle.load(f)
         self.restore(payload["state"])
         return payload
+
+    # -- backend-based (versioned / async-orbax) checkpoints -----------
+    def make_checkpointer(self, directory: str, max_to_keep: int = 3):
+        """Versioned checkpoint manager (tpurec.train.checkpoint): backend
+        chosen by TrainConfig.checkpoint_backend ('pickle' | 'orbax'; orbax
+        writes asynchronously so training overlaps the flush)."""
+        from tpurec.train.checkpoint import make_backend
+
+        return make_backend(
+            self.cfg.train.checkpoint_backend, directory, max_to_keep
+        )
+
+    def save_versioned(self, backend, step: int, extra: Optional[Dict] = None):
+        meta = {
+            "best_result": _jsonable(self.stopper.best_result),
+            "config_model": self.cfg.model.model,
+        }
+        if extra:
+            meta["extra"] = extra
+        backend.save(step, self.state, meta)
+
+    def load_versioned(self, backend, step: Optional[int] = None) -> Dict:
+        state, meta = backend.restore(self.state, step)
+        self.state = state
+        return meta
 
     # ------------------------------------------------------------------
     def fit(self, train, valid, test=None, domain_cnt_weight=None, log_fn=None) -> Dict:
