@@ -10,10 +10,11 @@ schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
 
 Measures steady-state examples/sec/chip of the K=16-step scanned train
 dispatch with exact reference (dense-Adam + dense embedding L2) semantics
-via the hybrid small/big-field update (tpurec.train.hybrid: small-vocab
-fields' grads as per-slice matmuls, big-field rows two-phase-corrected —
-bit-equivalent to dense Adam, ~40% faster at this table size) and the rbg
-PRNG for dropout bits.  Timing is hard-synced by fetching the final
+via the hybrid small/big-field update (tpurec.train.hybrid: one
+roofline Adam sweep with the small-vocab fields' matmul grads fused in
+via lax.pad of the contiguous prefix, big-field rows two-phase-corrected
+— bit-equivalent to dense Adam, ~45% faster at this table size) and the
+rbg PRNG for dropout bits.  Timing is hard-synced by fetching the final
 losses to host (the remote-TPU runtime's block_until_ready can return
 before the dispatch chain completes).
 

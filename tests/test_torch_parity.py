@@ -80,7 +80,10 @@ def test_deepfm_full_forward_matches_torch(rng):
 
     tm = _TorchDeepFM(field_dims, 6, mlp_dims)
     with torch.no_grad():
-        tm.embedding.weight.copy_(torch.tensor(np.array(p["embedding"]["table"])))
+        # our table is layout-padded; copy the true rows only (field order is
+        # preserved here because every test field is small-vocab)
+        tm.embedding.weight.copy_(torch.tensor(
+            np.array(p["embedding"]["table"])[: sum(field_dims)]))
         tm.linear.weight.copy_(torch.tensor(np.array(p["linear"]["weight"]).T))
         tm.linear.bias.copy_(torch.tensor(np.array(p["linear"]["bias"])))
         linears = [m for m in tm.mlp if isinstance(m, torch.nn.Linear)]

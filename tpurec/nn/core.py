@@ -212,25 +212,78 @@ class StackedMLP(nn.Module):
         return x
 
 
+SMALL_VOCAB_THRESHOLD = 8192
+
+
+class EmbeddingLayout:
+    """Row layout of the fused table: small-vocab fields first, padded vocab.
+
+    The row ORDER of the fused table is an internal choice (lookups go
+    through ``offsets``, reference layer.py:142-153); we exploit that
+    freedom twice:
+
+    - fields with vocab <= ``small_threshold`` are laid out as one
+      contiguous prefix [0, small_rows).  Their per-step gradients are
+      dense over that prefix (every id of a tiny vocab appears in most
+      batches), so the hybrid embedding update (tpurec.train.hybrid)
+      delivers them to the fused Adam sweep kernel as ONE compact buffer
+      instead of 20+ scattered slice-updates.
+    - the row count is padded to a multiple of ``row_pad`` (default 8, so
+      rows*embed_dim is a multiple of 128 at embed_dim>=16) so elementwise
+      kernels can view the table as a lane-aligned [rows*D/128, 128] array.
+      Padding rows are zero-initialized and never indexed; under dense
+      Adam + L2/weight-decay a zero row stays exactly zero, so they are
+      semantically inert (including in the reference's sum(p**2) L2 term).
+    """
+
+    def __init__(self, field_dims, small_threshold: int = SMALL_VOCAB_THRESHOLD,
+                 row_pad: int = 8):
+        self.field_dims = tuple(int(d) for d in field_dims)
+        self.small_threshold = int(small_threshold)
+        self.small_fields = tuple(
+            f for f, d in enumerate(self.field_dims) if d <= small_threshold)
+        self.big_fields = tuple(
+            f for f, d in enumerate(self.field_dims) if d > small_threshold)
+        offsets = np.zeros(len(self.field_dims), np.int64)
+        pos = 0
+        for f in self.small_fields + self.big_fields:
+            offsets[f] = pos
+            pos += self.field_dims[f]
+        self.offsets = offsets.astype(np.int32)
+        self.n_rows = pos                       # true rows
+        self.small_rows = int(sum(self.field_dims[f] for f in self.small_fields))
+        self.vocab = -(-pos // row_pad) * row_pad  # padded rows
+
+
 class FusedEmbedding(nn.Module):
     """One fused embedding table over all categorical fields (layer.py:129-157).
 
     ids[b, f] indexes row ``offsets[f] + ids[b, f]`` of a single
-    [sum(field_dims), embed_dim] table.  On a multi-chip mesh this table is
-    row-sharded over the model axis (see tpurec.parallel.sharding); the
-    lookup compiles to a sharded gather + collective under GSPMD.
+    [vocab, embed_dim] table, with rows arranged per :class:`EmbeddingLayout`
+    (small-vocab fields first, vocab padded; both invisible to semantics).
+    On a multi-chip mesh this table is row-sharded over the model axis (see
+    tpurec.parallel.sharding); the lookup compiles to a sharded gather +
+    collective under GSPMD.
     """
 
     field_dims: Tuple[int, ...]
     embed_dim: int
 
     def setup(self):
-        self.vocab_size = int(sum(self.field_dims))
+        layout = EmbeddingLayout(self.field_dims)
+        self.layout = layout
+        self.vocab_size = layout.vocab
         self.field_num = len(self.field_dims)
-        offsets = np.concatenate([[0], np.cumsum(self.field_dims)[:-1]]).astype(np.int32)
-        self.offsets = jnp.asarray(offsets)
+        self.offsets = jnp.asarray(layout.offsets)
+
+        def init_with_zero_pad(key, shape):
+            w = tinit.embedding_init(key, shape)
+            if layout.vocab > layout.n_rows:
+                w = w.at[layout.n_rows:].set(0.0)
+            return w
+
         self.table = self.param(
-            "table", tinit.embedding_init, (self.vocab_size, self.embed_dim)
+            "table", init_with_zero_pad, (self.vocab_size, self.embed_dim)
         )
 
     def __call__(self, ids, flatten: bool = False):

@@ -1,22 +1,32 @@
 """Hybrid small/big-field embedding update — exact dense-Adam semantics at
-~60% of the dense path's step cost.
+~55% of the dense path's step cost.
 
 The dense default differentiates through the fused table lookup, so XLA
 materializes a [V, D] gradient (scatter of B*F rows into zeros) and then
 runs the Adam chain — two full HBM sweeps plus a serialized row scatter
-(~2.0ms at Ali-CCP scale).  This path exploits the CTR vocab shape: of the
-~23 categorical fields (run.py:54-58) all but the user/item ids have small
-vocabularies, so their scattered gradients are *dense over tiny contiguous
-table slices* and reduce to one [v_f, B] x [B, D] matmul per field (the
-transpose of a one-hot lookup) — no scatter at all.  Only the few
-big-vocab fields contribute truly sparse rows (B ids each), which are
-applied by exact two-phase correction:
+(~2.0ms at Ali-CCP scale).  This path reduces the table update to its HBM
+roofline (read p/m/v + write p'/m'/v' once, nothing else):
 
-  1. dense Adam pass over the whole table with u = coef*p (+ the
-     small-field dense grads added on their slices),
-  2. recompute the few big-field touched rows from their pre-step values
-     with the full gradient and overwrite (duplicates segment-summed
-     first) — bitwise-equal semantics to dense Adam, per step.
+  1. **decay sweep** — one elementwise fusion computing the zero-gradient
+     Adam step u = coef*p over the whole table (coef = 2*l2 + wd; the
+     reference applies dense L2 + weight decay to every row every step,
+     layer.py:96-112 + run.py:720-723).  The real gradients are NOT folded
+     in here: adding them forces XLA to materialize the u operand (+2 full
+     HBM passes, measured +0.35ms at 1.6M x 16); instead the rows that have
+     gradients get exact row-region corrections on the sweep OUTPUTS,
+     in-place on the donated buffers:
+  2. **small-field prefix correction** — fields with tiny vocabularies
+     (all but the user/item ids on CTR schemas, run.py:54-58) have
+     gradients that are dense over their vocab: one [v_f, B] x [B, D]
+     matmul per field (the transpose of its one-hot lookup), no scatter.
+     EmbeddingLayout places those fields in ONE contiguous prefix
+     [0, small_rows), so the fix is a [S, D] recompute + a single
+     dynamic-update-slice.
+  3. **big-field row correction** — the few big-vocab fields contribute
+     truly sparse rows (B ids each): recompute those rows from their
+     pre-step values with the full gradient (duplicates segment-summed
+     first) and scatter-overwrite — bitwise-equal semantics to dense
+     Adam, per step.
 
 Reported loss includes the reference's embedding L2 term
 (layer.py:31,96-112) via an explicit sum(table**2) that fuses into the
@@ -36,6 +46,7 @@ import numpy as np
 import optax
 
 from tpurec.config import TrainConfig
+from tpurec.nn.core import EmbeddingLayout
 from tpurec.train.reg import regularization_loss
 from tpurec.train.sparse import SparseEmbedState, combine_duplicate_rows
 from tpurec.train.step import TrainState, bce_with_logits, make_optimizer, select_tower
@@ -63,10 +74,19 @@ def make_hybrid_train_step(
     reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
 
     field_dims = tuple(int(d) for d in model.field_dims)
-    offsets = np.concatenate([[0], np.cumsum(field_dims)[:-1]]).astype(np.int32)
-    vocab = int(sum(field_dims))
-    small = [f for f, d in enumerate(field_dims) if d <= big_vocab_threshold]
-    big = [f for f, d in enumerate(field_dims) if d > big_vocab_threshold]
+    # the layout is the MODEL's (FusedEmbedding's default threshold): small
+    # fields form the [0, small_rows) prefix.  ``big_vocab_threshold`` can
+    # only DEMOTE a layout-small field to the two-phase correction path
+    # (its prefix grad segment is then zero); a layout-big field can never
+    # be promoted — its rows aren't contiguous prefix rows.  Any split is
+    # exact; the threshold is purely a performance knob.
+    layout = EmbeddingLayout(field_dims)
+    offsets = layout.offsets
+    vocab = layout.vocab
+    small = [f for f in layout.small_fields
+             if field_dims[f] <= big_vocab_threshold]
+    small_set = set(small)
+    big = [f for f in range(len(field_dims)) if f not in small_set]
 
     b1, b2, eps, lr, wd = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr, tcfg.wd
     coef = 2.0 * l2_reg_embedding + wd
@@ -113,22 +133,47 @@ def make_hybrid_train_step(
         bc1 = 1.0 - b1 ** t
         bc2 = 1.0 - b2 ** t
 
-        # ---- dense pass: u = coef*p, with each small field's dense grad
-        # (one [v_f, B] x [B, D] matmul — the transpose of its one-hot
-        # lookup) added on its contiguous table slice
+        # ---- small-vocab fields' dense grads: one [v_f, B] x [B, D] matmul
+        # per field (the transpose of its one-hot lookup), concatenated into
+        # the compact [small_rows, D] prefix region (EmbeddingLayout orders
+        # small fields first).  Demoted fields contribute zero segments —
+        # their rows go through the big-field correction below.
+        n_keep = 0  # segments up to the last update-small field; the
+        for i, f in enumerate(layout.small_fields):  # zero tail costs nothing
+            if f in small_set:
+                n_keep = i + 1
+        g_segs = []
+        for f in layout.small_fields[:n_keep]:
+            v_f = field_dims[f]
+            if f in small_set:
+                oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
+                g_segs.append(jax.lax.dot_general(
+                    oh.astype(g_rows.dtype), g_rows[:, f, :],
+                    (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                ))  # [v_f, D]
+            else:
+                g_segs.append(jnp.zeros((v_f, D), g_rows.dtype))
+        g_small = (jnp.concatenate(g_segs, axis=0) if g_segs
+                   else jnp.zeros((0, D), g_rows.dtype))
+
+        # ---- dense sweep: exact Adam with u = coef*p + pad(g_small), ONE
+        # elementwise fusion reading (p, m, v) and writing (p2, m2, v2) —
+        # 6 HBM passes, the roofline for exact per-step dense-Adam
+        # semantics.  The small-field grads ride in via lax.pad of the
+        # contiguous [0, S) prefix (EmbeddingLayout): pad is an element
+        # GENERATOR that XLA fuses into the chain, unlike concat /
+        # dynamic-update-slice / scatter forms, all of which materialize an
+        # extra [V, D] operand (+0.3-0.9ms at 1.6M x 16, measured).
+        # sum(p**2) — the reference's embedding L2 loss term
+        # (layer.py:31,96-112) — fuses into the same sweep for free.
+        sumsq = jnp.sum(table * table)
+        S = g_small.shape[0]
         u = coef * table
-        for f in small:
-            v_f, off = field_dims[f], int(offsets[f])
-            oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
-            g_f = jax.lax.dot_general(
-                oh.astype(g_rows.dtype), g_rows[:, f, :],
-                (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [v_f, D]
-            u = u.at[off:off + v_f].add(g_f)
-
-        sumsq = jnp.sum(table * table)  # reference L2 term; fuses into sweep
-
+        if S:
+            u = u + jax.lax.pad(
+                g_small, jnp.asarray(0, g_small.dtype),
+                ((0, vocab - S, 0), (0, 0, 0)))
         m2 = b1 * emb_opt.m + (1.0 - b1) * u
         v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
         p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)

@@ -97,10 +97,11 @@ def make_sparse_train_step(
     tx = optimizer if optimizer is not None else make_optimizer(tcfg)
     mutable_keys = tuple(mutable_keys)
     reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
-    offsets = np.concatenate(
-        [[0], np.cumsum(model.field_dims)[:-1]]
-    ).astype(np.int32)
-    vocab = int(sum(model.field_dims))
+    from tpurec.nn.core import EmbeddingLayout
+
+    layout = EmbeddingLayout(model.field_dims)
+    offsets = layout.offsets
+    vocab = layout.vocab
     b1, b2, eps, lr, wd = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr, tcfg.wd
 
     def loss_fn(rest_params, rows, model_state, batch, rng):
