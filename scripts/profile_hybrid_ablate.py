@@ -147,6 +147,47 @@ def main():
                     opt_state=(new_opt_rest, SparseEmbedState(m=m2, v=v2)),
                     model_state=new_state, step=ts.step + 1)
                 return new_ts, loss + l2_reg_embedding * sumsq
+            if do_small and small_mode == "pad_hints":
+                segs = []
+                for f in small:
+                    v_f = FIELD_DIMS[f]
+                    oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
+                    segs.append(jax.lax.dot_general(
+                        oh.astype(g_rows.dtype), g_rows[:, f, :],
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST))
+                g_cat = jnp.concatenate(segs, axis=0)
+                S = g_cat.shape[0]
+                Vp = table.shape[0]
+                gpad = jax.lax.pad(g_cat, jnp.float32(0), ((0, Vp - S, 0), (0, 0, 0)))
+                sumsq = jnp.sum(table * table)
+                big_ids = (x[:, big] + offsets[None, big]).reshape(-1)
+                g_big = g_rows[:, big, :].reshape(-1, D)
+                id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, Vp)
+                if True:
+                    u = coef * table + gpad
+                    m2 = b1 * emb_opt.m + (1.0 - b1) * u
+                    v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
+                    p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                    p_old = jnp.take(table, id_u, axis=0, mode="clip")
+                    m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip")
+                    v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip")
+                    ub = g_u + coef * p_old
+                    mb = b1 * m_old + (1.0 - b1) * ub
+                    vb = b2 * v_old + (1.0 - b2) * (ub * ub)
+                    pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
+                    p2f = p2.at[id_u].set(pb, mode="drop", unique_indices=True,
+                                          indices_are_sorted=True)
+                    m2f = m2.at[id_u].set(mb, mode="drop", unique_indices=True,
+                                          indices_are_sorted=True)
+                    v2f = v2.at[id_u].set(vb, mode="drop", unique_indices=True,
+                                          indices_are_sorted=True)
+                new_params = {**new_rest, "embedding": {"table": p2f}}
+                new_ts = ts.replace(
+                    params=new_params,
+                    opt_state=(new_opt_rest, SparseEmbedState(m=m2f, v=v2f)),
+                    model_state=new_state, step=ts.step + 1)
+                return new_ts, loss + l2_reg_embedding * sumsq
             if do_small and small_mode == "pad":
                 segs = []
                 for f in small:
@@ -279,9 +320,9 @@ def main():
         dt = (time.perf_counter() - t0) / 8 / K
         print(f"{name:26s} {dt*1e3:8.3f} ms/step  ({BS/dt:,.0f} ex/s)")
 
-    run("old hybrid (21-dus)")
     run("pad scheme", small_mode="pad")
-    run("no small fields", do_small=False)
+    run("pad + scatter hints", small_mode="pad_hints")
+    run("pad, no big corr", small_mode="pad", do_big=False)
 
 
 if __name__ == "__main__":

@@ -78,25 +78,30 @@ def main():
     if not paths:
         return
 
-    from xprof.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
+    n_steps = 4 * K
     for path in paths:
         xs_pb = xplane_pb2.XSpace()
         xs_pb.ParseFromString(open(path, "rb").read())
         for plane in xs_pb.planes:
-            total = defaultdict(float)
-            count = defaultdict(int)
+            if "TPU" not in plane.name:
+                continue
             ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
             for line in plane.lines:
+                total = defaultdict(float)
+                count = defaultdict(int)
                 for ev in line.events:
                     name = ev_meta.get(ev.metadata_id, "?")
                     total[name] += ev.duration_ps / 1e9  # ms
                     count[name] += 1
-            if not total:
-                continue
-            print(f"\n=== plane: {plane.name} (total {sum(total.values()):.2f} ms) ===")
-            for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:40]:
-                print(f"  {ms:9.3f} ms  x{count[name]:<5d} {name[:110]}")
+                if not total:
+                    continue
+                print(f"\n=== {plane.name} / line {line.name!r}: "
+                      f"{sum(total.values())/n_steps*1e3:.0f} us/step over "
+                      f"{len(total)} op kinds ===")
+                for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:35]:
+                    print(f"  {ms/n_steps*1e3:8.1f} us/step  x{count[name]//n_steps:<4d} {name[:100]}")
 
 
 if __name__ == "__main__":

@@ -171,16 +171,20 @@ class FieldMultiHeadAttention(nn.Module):
         qkv = jnp.einsum("bfa,ac->bfc", x, w_in, preferred_element_type=jnp.float32) + b_in
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(B, F, H, hd).transpose(0, 2, 1, 3)  # [B, H, F, hd]
-
-        q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhfd,bhgd->bhfg", q, k, preferred_element_type=jnp.float32)
+        # heads are split by RESHAPE only — no explicit transposes; the
+        # einsums carry the head axis as a batch dim and XLA picks layouts
+        # (explicit [B,H,F,hd] transposes materialized 2 layout copies per
+        # tensor per layer on TPU, ~100us/step at bench shapes)
+        q4 = q.reshape(B, F, H, hd)
+        k4 = k.reshape(B, F, H, hd)
+        v4 = v.reshape(B, F, H, hd)
+        scores = jnp.einsum("bfhd,bghd->bhfg", q4, k4,
+                            preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhfg,bhgd->bhfd", attn, v, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, F, A)
+        out = jnp.einsum("bhfg,bghd->bfhd", attn, v4,
+                         preferred_element_type=jnp.float32).reshape(B, F, A)
         w_out = self.param("out_proj_weight", tinit.linear_weight_init(A), (A, A))
         b_out = self.param("out_proj_bias", tinit.zeros_init, (A,))
         return jnp.einsum("bfa,ao->bfo", out, w_out, preferred_element_type=jnp.float32) + b_out

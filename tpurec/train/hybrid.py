@@ -190,10 +190,12 @@ def make_hybrid_train_step(
             mb = b1 * m_old + (1.0 - b1) * ub
             vb = b2 * v_old + (1.0 - b2) * (ub * ub)
             pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
-            # sentinel (out-of-range) ids from dedup padding are dropped
-            p2 = p2.at[id_u].set(pb, mode="drop")
-            m2 = m2.at[id_u].set(mb, mode="drop")
-            v2 = v2.at[id_u].set(vb, mode="drop")
+            # sentinel (out-of-range) ids from dedup padding are dropped;
+            # ids are sorted+unique by construction (combine_duplicate_rows)
+            kw = dict(mode="drop", unique_indices=True, indices_are_sorted=True)
+            p2 = p2.at[id_u].set(pb, **kw)
+            m2 = m2.at[id_u].set(mb, **kw)
+            v2 = v2.at[id_u].set(vb, **kw)
 
         new_params = {**new_rest, "embedding": {"table": p2}}
         new_ts = ts.replace(
