@@ -39,8 +39,10 @@ from tpurec.cdc.algorithm import CDCClusterState, update_group
 from tpurec.data.loader import DomainBatcher, pad_batch
 from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
 from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
+from tpurec.train.hybrid import EmbeddingUpdater
 from tpurec.train.loop import EarlyStopper
 from tpurec.train.reg import reg_coef_tree, regularization_loss
+from tpurec.train.sparse import init_sparse_opt_state
 from tpurec.train.step import TrainState, bce_on_probs, bce_with_logits, make_optimizer
 
 
@@ -83,8 +85,13 @@ class CDCTrainer:
             cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
         )
         self.tx = make_optimizer(cfg.train)
+        # burst steps use the hybrid embedding update (exact dense-Adam
+        # semantics without the per-step dense-grad scatter, see
+        # tpurec.train.hybrid) — opt_state is (optax_rest, SparseEmbedState)
+        self.emb_upd = EmbeddingUpdater(
+            field_dims, cfg.train, cfg.model.l2_reg_embedding)
         self.state = TrainState(
-            params=params, opt_state=self.tx.init(params),
+            params=params, opt_state=init_sparse_opt_state(params, self.tx),
             model_state=model_state, step=jnp.zeros((), jnp.int32),
         )
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -106,20 +113,24 @@ class CDCTrainer:
         would otherwise dominate the sub-millisecond CDC treatment steps.
         """
         model, cfg = self.model, self.cfg
-        reg_coefs, tx = self.reg_coefs, self.tx
+        reg_coefs, tx, upd = self.reg_coefs, self.tx, self.emb_upd
+        reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
+        l2_emb = cfg.model.l2_reg_embedding
         mutable = list(self.mutable_keys)
         domain_idx = self.domain_idx
 
         import optax
 
-        def forward_train(params, model_state, x, y, mask, rng, mode, domain2group):
+        def forward_train(rest_params, rows, model_state, x, y, mask, rng,
+                          mode, domain2group):
             out, new_state = model.apply(
-                {"params": params, **model_state},
+                {"params": rest_params, **model_state},
                 x,
                 train=True,
                 row_mask=mask,
                 mutable=mutable,
                 rngs={"dropout": rng},
+                embed_rows=rows,
             )
             if mode == "warmup":
                 # mean of tower probabilities (cdc.py:99-102)
@@ -129,21 +140,28 @@ class CDCTrainer:
                 groups = domain2group[x[:, domain_idx]]
                 logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
                 loss = bce_with_logits(logit, y, mask)
-            loss = loss + regularization_loss(params, reg_coefs)
+            loss = loss + regularization_loss(rest_params, reg_coefs_rest)
             return loss, new_state
 
         def one_step(mode, ts, Xdev, ydev, idx, mask, rng, domain2group):
             x = jnp.take(Xdev, idx, axis=0)
             y = jnp.take(ydev, idx, axis=0)
-            (loss, new_state), grads = jax.value_and_grad(
-                forward_train, has_aux=True
-            )(ts.params, ts.model_state, x, y, mask, rng, mode, domain2group)
-            updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
-            new_params = optax.apply_updates(ts.params, updates)
+            table = ts.params["embedding"]["table"]
+            rest = {k: v for k, v in ts.params.items() if k != "embedding"}
+            opt_rest, emb_opt = ts.opt_state
+            rows = upd.gather_rows(table, x)
+            (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
+                forward_train, argnums=(0, 1), has_aux=True
+            )(rest, rows, ts.model_state, x, y, mask, rng, mode, domain2group)
+            updates, new_opt_rest = tx.update(g_rest, opt_rest, rest)
+            new_rest = optax.apply_updates(rest, updates)
+            p2, emb_opt2, sumsq = upd.update(table, emb_opt, x, g_rows,
+                                             ts.step + 1)
             return ts.replace(
-                params=new_params, opt_state=new_opt,
+                params={**new_rest, "embedding": {"table": p2}},
+                opt_state=(new_opt_rest, emb_opt2),
                 model_state=new_state, step=ts.step + 1,
-            ), loss
+            ), loss + l2_emb * sumsq
 
         def scan_steps(mode, ts, Xdev, ydev, idxs, masks, rngs, domain2group):
             def body(ts, xs):

@@ -54,82 +54,55 @@ from tpurec.train.step import TrainState, bce_with_logits, make_optimizer, selec
 BIG_VOCAB_THRESHOLD = 8192
 
 
-def make_hybrid_train_step(
-    model,
-    tcfg: TrainConfig,
-    reg_coefs,
-    multi_tower: bool,
-    mutable_keys,
-    l2_reg_embedding: float,
-    optimizer: Optional[optax.GradientTransformation] = None,
-    scan_k: Optional[int] = None,
-    big_vocab_threshold: int = BIG_VOCAB_THRESHOLD,
-):
-    """Train step (or K-step scan when ``scan_k``) with the hybrid update.
+class EmbeddingUpdater:
+    """Reusable exact-dense-Adam embedding update (the hybrid scheme above).
 
-    TrainState.opt_state is (optax_state_for_rest_params, SparseEmbedState),
-    identical to the 'sparse' mode's layout."""
-    tx = optimizer if optimizer is not None else make_optimizer(tcfg)
-    mutable_keys = tuple(mutable_keys)
-    reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
+    Shared by the standard hybrid train step and the CDC engine's burst
+    steps (which otherwise pay a full dense-grad scatter per treatment
+    step).  ``update(table, emb_opt, x, g_rows, step)`` applies one exact
+    dense-Adam step to the table given the batch's ids ``x`` [B, F] and the
+    gathered-row gradients ``g_rows`` [B, F, D]; returns
+    (table', SparseEmbedState', sumsq) with sumsq = sum(table**2)
+    pre-update (the reference's embedding L2 loss term).
+    """
 
-    field_dims = tuple(int(d) for d in model.field_dims)
-    # the layout is the MODEL's (FusedEmbedding's default threshold): small
-    # fields form the [0, small_rows) prefix.  ``big_vocab_threshold`` can
-    # only DEMOTE a layout-small field to the two-phase correction path
-    # (its prefix grad segment is then zero); a layout-big field can never
-    # be promoted — its rows aren't contiguous prefix rows.  Any split is
-    # exact; the threshold is purely a performance knob.
-    layout = EmbeddingLayout(field_dims)
-    offsets = layout.offsets
-    vocab = layout.vocab
-    small = [f for f in layout.small_fields
-             if field_dims[f] <= big_vocab_threshold]
-    small_set = set(small)
-    big = [f for f in range(len(field_dims)) if f not in small_set]
+    def __init__(self, field_dims, tcfg: TrainConfig, l2_reg_embedding: float,
+                 big_vocab_threshold: int = BIG_VOCAB_THRESHOLD):
+        field_dims = tuple(int(d) for d in field_dims)
+        self.field_dims = field_dims
+        # the layout is the MODEL's (FusedEmbedding's default threshold):
+        # small fields form the [0, small_rows) prefix.
+        # ``big_vocab_threshold`` can only DEMOTE a layout-small field to
+        # the two-phase correction path (its prefix grad segment is then
+        # zero); a layout-big field can never be promoted — its rows aren't
+        # contiguous prefix rows.  Any split is exact; the threshold is
+        # purely a performance knob.
+        self.layout = EmbeddingLayout(field_dims)
+        self.offsets = self.layout.offsets
+        self.vocab = self.layout.vocab
+        self.small = [f for f in self.layout.small_fields
+                      if field_dims[f] <= big_vocab_threshold]
+        self.small_set = set(self.small)
+        self.big = [f for f in range(len(field_dims))
+                    if f not in self.small_set]
+        self.tcfg = tcfg
+        self.l2_reg_embedding = l2_reg_embedding
+        self.coef = 2.0 * l2_reg_embedding + tcfg.wd
 
-    b1, b2, eps, lr, wd = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr, tcfg.wd
-    coef = 2.0 * l2_reg_embedding + wd
+    def gather_rows(self, table, x):
+        """x [B, F] int -> gathered table rows [B*F, D]."""
+        flat_ids = (x.astype(jnp.int32) + self.offsets[None, :]).reshape(-1)
+        return jnp.take(table, flat_ids, axis=0)
 
-    def loss_fn(rest_params, rows, model_state, batch, rng):
-        out, new_state = model.apply(
-            {"params": rest_params, **model_state},
-            batch["x"],
-            group=batch.get("group"),
-            train=True,
-            row_mask=batch.get("mask"),
-            mutable=list(mutable_keys),
-            rngs={"dropout": rng},
-            embed_rows=rows,
-        )
-        logit = select_tower(out, batch["group"]) if multi_tower else out
-        loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
-        loss = loss + regularization_loss(rest_params, reg_coefs_rest)
-        return loss, new_state
-
-    def one_step(carry, batch_rng):
-        ts = carry
-        batch, rng = batch_rng
-        table = ts.params["embedding"]["table"]
-        rest = {k: v for k, v in ts.params.items() if k != "embedding"}
-        opt_rest, emb_opt = ts.opt_state
-        x = batch["x"].astype(jnp.int32)
+    def update(self, table, emb_opt: SparseEmbedState, x, g_rows, step):
+        layout, field_dims = self.layout, self.field_dims
+        tcfg, coef = self.tcfg, self.coef
+        b1, b2, eps, lr = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr
+        x = x.astype(jnp.int32)
         B, F = x.shape
         D = table.shape[1]
-
-        flat_ids = (x + offsets[None, :]).reshape(-1)
-        rows = jnp.take(table, flat_ids, axis=0)
-
-        (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(rest, rows, ts.model_state, batch, rng)
         g_rows = g_rows.reshape(B, F, D)
-
-        # dense-net update via optax over the REST tree
-        updates, new_opt_rest = tx.update(g_rest, opt_rest, rest)
-        new_rest = optax.apply_updates(rest, updates)
-
-        t = (ts.step + 1).astype(jnp.float32)
+        t = jnp.asarray(step, jnp.float32)
         bc1 = 1.0 - b1 ** t
         bc2 = 1.0 - b2 ** t
 
@@ -140,12 +113,12 @@ def make_hybrid_train_step(
         # their rows go through the big-field correction below.
         n_keep = 0  # segments up to the last update-small field; the
         for i, f in enumerate(layout.small_fields):  # zero tail costs nothing
-            if f in small_set:
+            if f in self.small_set:
                 n_keep = i + 1
         g_segs = []
         for f in layout.small_fields[:n_keep]:
             v_f = field_dims[f]
-            if f in small_set:
+            if f in self.small_set:
                 oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
                 g_segs.append(jax.lax.dot_general(
                     oh.astype(g_rows.dtype), g_rows[:, f, :],
@@ -173,16 +146,17 @@ def make_hybrid_train_step(
         if S:
             u = u + jax.lax.pad(
                 g_small, jnp.asarray(0, g_small.dtype),
-                ((0, vocab - S, 0), (0, 0, 0)))
+                ((0, self.vocab - S, 0), (0, 0, 0)))
         m2 = b1 * emb_opt.m + (1.0 - b1) * u
         v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
         p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
 
         # ---- exact correction of the big-field touched rows
-        if big:
-            big_ids = (x[:, big] + offsets[None, big]).reshape(-1)
+        if self.big:
+            big = self.big
+            big_ids = (x[:, big] + self.offsets[None, big]).reshape(-1)
             g_big = g_rows[:, big, :].reshape(-1, D)
-            id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, vocab)
+            id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, self.vocab)
             p_old = jnp.take(table, id_u, axis=0, mode="clip")
             m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip")
             v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip")
@@ -197,10 +171,69 @@ def make_hybrid_train_step(
             m2 = m2.at[id_u].set(mb, **kw)
             v2 = v2.at[id_u].set(vb, **kw)
 
+        return p2, SparseEmbedState(m=m2, v=v2), sumsq
+
+
+def make_hybrid_train_step(
+    model,
+    tcfg: TrainConfig,
+    reg_coefs,
+    multi_tower: bool,
+    mutable_keys,
+    l2_reg_embedding: float,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    scan_k: Optional[int] = None,
+    big_vocab_threshold: int = BIG_VOCAB_THRESHOLD,
+):
+    """Train step (or K-step scan when ``scan_k``) with the hybrid update.
+
+    TrainState.opt_state is (optax_state_for_rest_params, SparseEmbedState),
+    identical to the 'sparse' mode's layout."""
+    tx = optimizer if optimizer is not None else make_optimizer(tcfg)
+    mutable_keys = tuple(mutable_keys)
+    reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
+    upd = EmbeddingUpdater(model.field_dims, tcfg, l2_reg_embedding,
+                           big_vocab_threshold)
+
+    def loss_fn(rest_params, rows, model_state, batch, rng):
+        out, new_state = model.apply(
+            {"params": rest_params, **model_state},
+            batch["x"],
+            group=batch.get("group"),
+            train=True,
+            row_mask=batch.get("mask"),
+            mutable=list(mutable_keys),
+            rngs={"dropout": rng},
+            embed_rows=rows,
+        )
+        logit = select_tower(out, batch["group"]) if multi_tower else out
+        loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
+        loss = loss + regularization_loss(rest_params, reg_coefs_rest)
+        return loss, new_state
+
+    def one_step(carry, batch_rng):
+        ts = carry
+        batch, rng = batch_rng
+        table = ts.params["embedding"]["table"]
+        rest = {k: v for k, v in ts.params.items() if k != "embedding"}
+        opt_rest, emb_opt = ts.opt_state
+        x = batch["x"].astype(jnp.int32)
+
+        rows = upd.gather_rows(table, x)
+        (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rest, rows, ts.model_state, batch, rng)
+
+        # dense-net update via optax over the REST tree
+        updates, new_opt_rest = tx.update(g_rest, opt_rest, rest)
+        new_rest = optax.apply_updates(rest, updates)
+
+        p2, emb_opt2, sumsq = upd.update(table, emb_opt, x, g_rows, ts.step + 1)
+
         new_params = {**new_rest, "embedding": {"table": p2}}
         new_ts = ts.replace(
             params=new_params,
-            opt_state=(new_opt_rest, SparseEmbedState(m=m2, v=v2)),
+            opt_state=(new_opt_rest, emb_opt2),
             model_state=new_state,
             step=ts.step + 1,
         )
