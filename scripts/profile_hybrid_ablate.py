@@ -147,7 +147,49 @@ def main():
                     opt_state=(new_opt_rest, SparseEmbedState(m=m2, v=v2)),
                     model_state=new_state, step=ts.step + 1)
                 return new_ts, loss + l2_reg_embedding * sumsq
-            if do_small and small_mode == "pad_hints":
+            if do_small and small_mode == "mv_pack":
+                # m,v packed along the LAST dim as one [V, 2D] array:
+                # 2 scatters / 2 gathers instead of 3, same HBM bytes
+                segs = []
+                for f in small:
+                    v_f = FIELD_DIMS[f]
+                    oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
+                    segs.append(jax.lax.dot_general(
+                        oh.astype(g_rows.dtype), g_rows[:, f, :],
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST))
+                g_cat = jnp.concatenate(segs, axis=0)
+                S = g_cat.shape[0]
+                Vp = table.shape[0]
+                gpad = jax.lax.pad(g_cat, jnp.float32(0), ((0, Vp - S, 0), (0, 0, 0)))
+                sumsq = jnp.sum(table * table)
+                mv = ts.opt_state[1]  # [V, 2D] in this variant
+                u = coef * table + gpad
+                m2 = b1 * mv[:, :D] + (1.0 - b1) * u
+                v2 = b2 * mv[:, D:] + (1.0 - b2) * (u * u)
+                p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                mv2 = jnp.concatenate([m2, v2], axis=1)
+                big_ids = (x[:, big] + offsets[None, big]).reshape(-1)
+                g_big = g_rows[:, big, :].reshape(-1, D)
+                eq = (big_ids[:, None] == big_ids[None, :])
+                g_sum = jax.lax.dot_general(
+                    eq.astype(jnp.float32), g_big,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                p_old = jnp.take(table, big_ids, axis=0)
+                mv_old = jnp.take(mv, big_ids, axis=0)
+                ub = g_sum + coef * p_old
+                mb = b1 * mv_old[:, :D] + (1.0 - b1) * ub
+                vb = b2 * mv_old[:, D:] + (1.0 - b2) * (ub * ub)
+                pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
+                p2 = p2.at[big_ids].set(pb)
+                mv2 = mv2.at[big_ids].set(jnp.concatenate([mb, vb], axis=1))
+                new_params = {**new_rest, "embedding": {"table": p2}}
+                new_ts = ts.replace(
+                    params=new_params, opt_state=(new_opt_rest, mv2),
+                    model_state=new_state, step=ts.step + 1)
+                return new_ts, loss + l2_reg_embedding * sumsq
+            if do_small and small_mode in ("pad_hints", "eq_dedup"):
                 segs = []
                 for f in small:
                     v_f = FIELD_DIMS[f]
@@ -164,7 +206,30 @@ def main():
                 big_ids = (x[:, big] + offsets[None, big]).reshape(-1)
                 g_big = g_rows[:, big, :].reshape(-1, D)
                 id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, Vp)
-                if True:
+                if small_mode == "eq_dedup":
+                    u = coef * table + gpad
+                    m2 = b1 * emb_opt.m + (1.0 - b1) * u
+                    v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
+                    p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+                    # duplicate combining WITHOUT sort: equality matmul gives
+                    # each occurrence its id's total grad; .set then writes
+                    # identical values for duplicates (idempotent)
+                    eq = (big_ids[:, None] == big_ids[None, :])
+                    g_sum = jax.lax.dot_general(
+                        eq.astype(jnp.float32), g_big,
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST)
+                    p_old = jnp.take(table, big_ids, axis=0)
+                    m_old = jnp.take(emb_opt.m, big_ids, axis=0)
+                    v_old = jnp.take(emb_opt.v, big_ids, axis=0)
+                    ub = g_sum + coef * p_old
+                    mb = b1 * m_old + (1.0 - b1) * ub
+                    vb = b2 * v_old + (1.0 - b2) * (ub * ub)
+                    pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
+                    p2f = p2.at[big_ids].set(pb)
+                    m2f = m2.at[big_ids].set(mb)
+                    v2f = v2.at[big_ids].set(vb)
+                elif True:
                     u = coef * table + gpad
                     m2 = b1 * emb_opt.m + (1.0 - b1) * u
                     v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
@@ -305,9 +370,15 @@ def main():
 
     def run(name, **kw):
         scan_steps = make(**kw)
+        if kw.get("small_mode") == "mv_pack":
+            tbl = params0["embedding"]["table"]
+            opt = (tx.init({k: v for k, v in params0.items() if k != "embedding"}),
+                   jnp.zeros((tbl.shape[0], 2 * tbl.shape[1]), jnp.float32))
+        else:
+            opt = init_sparse_opt_state(params0, tx)
         state = TrainState(
             params=jax.tree.map(jnp.copy, params0),
-            opt_state=init_sparse_opt_state(params0, tx),
+            opt_state=opt,
             model_state=jax.tree.map(jnp.copy, model_state0),
             step=jnp.zeros((), jnp.int32))
         for i in range(2):
@@ -320,8 +391,8 @@ def main():
         dt = (time.perf_counter() - t0) / 8 / K
         print(f"{name:26s} {dt*1e3:8.3f} ms/step  ({BS/dt:,.0f} ex/s)")
 
-    run("pad scheme", small_mode="pad")
-    run("pad + scatter hints", small_mode="pad_hints")
+    run("pad + eq dedup", small_mode="eq_dedup")
+    run("eq dedup + mv pack", small_mode="mv_pack")
     run("pad, no big corr", small_mode="pad", do_big=False)
 
 

@@ -156,7 +156,26 @@ class EmbeddingUpdater:
             big = self.big
             big_ids = (x[:, big] + self.offsets[None, big]).reshape(-1)
             g_big = g_rows[:, big, :].reshape(-1, D)
-            id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, self.vocab)
+            N = big_ids.shape[0]
+            if N <= 16384:
+                # sort-free duplicate combining: the [N, N] equality matmul
+                # hands every occurrence its id's TOTAL gradient, so the
+                # .set scatters below write identical values for duplicate
+                # ids — idempotent, hence exact without a bitonic sort
+                # (the sort costs more than this matmul up to N ~ 16k)
+                eq = (big_ids[:, None] == big_ids[None, :])
+                g_u = jax.lax.dot_general(
+                    eq.astype(g_big.dtype), g_big,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                id_u = big_ids
+                kw = {}
+            else:
+                id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, self.vocab)
+                # sentinel (out-of-range) ids from dedup padding are
+                # dropped; ids are sorted+unique by construction
+                kw = dict(mode="drop", unique_indices=True,
+                          indices_are_sorted=True)
             p_old = jnp.take(table, id_u, axis=0, mode="clip")
             m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip")
             v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip")
@@ -164,9 +183,6 @@ class EmbeddingUpdater:
             mb = b1 * m_old + (1.0 - b1) * ub
             vb = b2 * v_old + (1.0 - b2) * (ub * ub)
             pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
-            # sentinel (out-of-range) ids from dedup padding are dropped;
-            # ids are sorted+unique by construction (combine_duplicate_rows)
-            kw = dict(mode="drop", unique_indices=True, indices_are_sorted=True)
             p2 = p2.at[id_u].set(pb, **kw)
             m2 = m2.at[id_u].set(mb, **kw)
             v2 = v2.at[id_u].set(vb, **kw)
