@@ -157,12 +157,14 @@ class EmbeddingUpdater:
             big_ids = (x[:, big] + self.offsets[None, big]).reshape(-1)
             g_big = g_rows[:, big, :].reshape(-1, D)
             N = big_ids.shape[0]
-            if N <= 16384:
+            if N <= 2048:
                 # sort-free duplicate combining: the [N, N] equality matmul
                 # hands every occurrence its id's TOTAL gradient, so the
                 # .set scatters below write identical values for duplicate
-                # ids — idempotent, hence exact without a bitonic sort
-                # (the sort costs more than this matmul up to N ~ 16k)
+                # ids — idempotent, hence exact without a bitonic sort.
+                # O(N^2) though: the materialized [N, N] f32 dot operand
+                # beats the sort only for small N (N=1024: +46us over sort;
+                # N=7168: 205MB operand, measured ~2x SLOWER per CDC burst)
                 eq = (big_ids[:, None] == big_ids[None, :])
                 g_u = jax.lax.dot_general(
                     eq.astype(g_big.dtype), g_big,
