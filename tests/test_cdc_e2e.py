@@ -99,3 +99,36 @@ def test_cdc_checkpoint_roundtrip(tmp_path, data):
     # setup_data after restore must NOT clobber the restored cluster
     tr2.setup_data(data.train, data.valid)
     assert tr2.cluster.call_update_group == 3
+
+
+def test_cdc_sharded_matches_single(data):
+    """CDC on a (4,2) mesh (data-parallel bursts, row-sharded table) must
+    produce the same matrices and clustering as single-device — GSPMD
+    inserts collectives, the math is identical."""
+    import jax
+
+    from tpurec.parallel import Shardings, make_mesh
+
+    cfg = _cfg("mmoe")
+    single = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    single.setup_data(data.train, data.valid)
+    single.update_matrix_cdc(cfg.cdc.update_matrix_step)
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    sh = Shardings(mesh)
+    sharded = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                         mesh=mesh, shardings=sh)
+    sharded.setup_data(data.train, data.valid)
+    sharded.update_matrix_cdc(cfg.cdc.update_matrix_step)
+
+    # same host RNG schedule + same device math -> same affinity matrices
+    np.testing.assert_allclose(
+        single.cluster.matrix_mask, sharded.cluster.matrix_mask,
+        rtol=0, atol=5e-5)
+    np.testing.assert_allclose(
+        single.cluster.matrix_A, sharded.cluster.matrix_A, rtol=0, atol=5e-5)
+    assert list(single.cluster.domain2group_list) == \
+        list(sharded.cluster.domain2group_list)
+    # table stayed row-sharded over the model axis
+    tbl_sh = sharded.state.params["embedding"]["table"].sharding
+    assert "model" in str(tbl_sh.spec)

@@ -49,11 +49,18 @@ from tpurec.train.step import TrainState, bce_on_probs, bce_with_logits, make_op
 class CDCTrainer:
     """CDC harness (reference Run.train_cdc/update_matrix_cdc + CDC module)."""
 
-    def __init__(self, cfg: Config, field_dims, n_domain: int, domain_idx: int):
+    def __init__(self, cfg: Config, field_dims, n_domain: int, domain_idx: int,
+                 mesh=None, shardings=None):
+        """``mesh``/``shardings`` (tpurec.parallel): run CDC data-parallel
+        over the mesh's ``data`` axis with the embedding table row-sharded
+        over ``model`` — every burst/eval batch is sharded by rows and
+        GSPMD inserts the gradient psum, identical math to single-chip."""
         assert cfg.cdc.base_model in CDC_BASE_MODELS, cfg.cdc.base_model
         self.cfg = cfg
         self.n_domain = n_domain
         self.domain_idx = domain_idx
+        self.mesh = mesh
+        self.shardings = shardings
         self.n_cluster = cfg.cdc.n_cluster
 
         # base model with n_tower = n_cluster (run.py:43).  CDC passes
@@ -94,6 +101,10 @@ class CDCTrainer:
             params=params, opt_state=init_sparse_opt_state(params, self.tx),
             model_state=model_state, step=jnp.zeros((), jnp.int32),
         )
+        if mesh is not None and shardings is not None:
+            # table rows -> model axis, everything else replicated
+            self.state = jax.device_put(
+                self.state, shardings.state_sharding(self.state))
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.np_rng = np.random.default_rng(cfg.train.seed)
         self.stopper = EarlyStopper(cfg.train.early_stop)
@@ -118,6 +129,17 @@ class CDCTrainer:
         l2_emb = cfg.model.l2_reg_embedding
         mutable = list(self.mutable_keys)
         domain_idx = self.domain_idx
+        mesh = self.mesh
+
+        def shard_rows(a):
+            """Constrain a [rows, ...] batch array onto the data axis; GSPMD
+            then shards the whole fwd/bwd and inserts the gradient psum."""
+            if mesh is None:
+                return a
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P("data", *([None] * (a.ndim - 1)))
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
 
         import optax
 
@@ -144,8 +166,9 @@ class CDCTrainer:
             return loss, new_state
 
         def one_step(mode, ts, Xdev, ydev, idx, mask, rng, domain2group):
-            x = jnp.take(Xdev, idx, axis=0)
-            y = jnp.take(ydev, idx, axis=0)
+            x = shard_rows(jnp.take(Xdev, idx, axis=0))
+            y = shard_rows(jnp.take(ydev, idx, axis=0))
+            mask = shard_rows(mask)
             table = ts.params["embedding"]["table"]
             rest = {k: v for k, v in ts.params.items() if k != "embedding"}
             opt_rest, emb_opt = ts.opt_state
@@ -205,7 +228,7 @@ class CDCTrainer:
             use_metric='auc', cdc.py:113-119)."""
             D, bs = idx.shape
             flat_idx = idx.reshape(D * bs)
-            x = jnp.take(Xdev, flat_idx, axis=0)
+            x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
             out = model.apply({"params": params, **model_state}, x, train=False)
             groups = d2g[x[:, domain_idx]]
@@ -282,7 +305,7 @@ class CDCTrainer:
             idx/masks: [D, bs] -> [D] loss vector."""
             D, bs = idx.shape
             flat_idx = idx.reshape(D * bs)
-            x = jnp.take(Xdev, flat_idx, axis=0)
+            x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
             out = model.apply({"params": params, **model_state}, x, train=False)
             groups = domain2group[x[:, domain_idx]]
@@ -303,7 +326,7 @@ class CDCTrainer:
             (the use_metric='auc' variant, cdc.py:117-119)."""
             D, bs = idx.shape
             flat_idx = idx.reshape(D * bs)
-            x = jnp.take(Xdev, flat_idx, axis=0)
+            x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
             out = model.apply({"params": params, **model_state}, x, train=False)
             groups = domain2group[x[:, domain_idx]]
@@ -379,6 +402,11 @@ class CDCTrainer:
         # device-resident training arrays; the hot loop only ships indices
         self.Xdev = jnp.asarray(Xtr, jnp.int32)
         self.ydev = jnp.asarray(ytr.astype(np.float32).reshape(-1))
+        if self.mesh is not None and self.shardings is not None:
+            # dataset replicated on every chip (batches are index-gathered
+            # then sharded by rows inside the jitted steps)
+            self.Xdev = jax.device_put(self.Xdev, self.shardings.replicated())
+            self.ydev = jax.device_put(self.ydev, self.shardings.replicated())
 
     @property
     def domain2group_dev(self):

@@ -63,6 +63,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--n_domain", type=int, default=6)
     p.add_argument("--n_rows", type=int, default=50000)
     p.add_argument("--log_path", default=None)
+    # device mesh: data x model axes (tpurec.parallel).  mesh_data=0 means
+    # "all remaining devices"; with 1 device no mesh is built.
+    p.add_argument("--mesh_data", type=int, default=0)
+    p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
 
     if args.is_set_seed == 0:
@@ -186,10 +190,24 @@ def main(argv=None):
 
     logger = JsonlLogger(args.log_path)
 
+    # build a (data, model) mesh when more than one device is available
+    # (or the user asked for a specific shape)
+    import jax
+
+    mesh = shardings = None
+    n_dev = len(jax.devices())
+    want = args.mesh_data * max(args.mesh_model, 1)
+    if n_dev > 1 or want > 1:
+        from tpurec.parallel import Shardings, make_mesh
+
+        mesh = make_mesh(args.mesh_data, max(args.mesh_model, 1))
+        shardings = Shardings(mesh)
+
     if "cdc" in cfg.model.model:
         from tpurec.cdc import CDCTrainer
 
-        tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx)
+        tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx,
+                        mesh=mesh, shardings=shardings)
         if args.resume:
             tr.load_checkpoint(args.resume)
         out = tr.fit(train, valid, test=test, log_fn=logger)
@@ -205,7 +223,8 @@ def main(argv=None):
                 else [0] * n_domain
             )
         tr = Trainer(cfg, field_dims, n_domain, domain_idx,
-                     domain2group=strategy[:n_domain])
+                     domain2group=strategy[:n_domain],
+                     mesh=mesh, shardings=shardings)
         if args.resume:
             tr.load_checkpoint(args.resume)
         out = tr.fit(train, valid, test=test, log_fn=logger)
