@@ -9,12 +9,15 @@ schema: 23 categorical fields incl. a 1.37M-row itemid vocabulary
 (config.py:7) and 50 domains, 26.7M params.
 
 Measures steady-state examples/sec/chip of the K=16-step scanned train
-dispatch with exact reference (dense-Adam + dense embedding L2) semantics
-via the hybrid small/big-field update (tpurec.train.hybrid: one
-roofline Adam sweep with the small-vocab fields' matmul grads fused in
-via lax.pad of the contiguous prefix, big-field rows two-phase-corrected
-— bit-equivalent to dense Adam, ~45% faster at this table size) and the
-rbg PRNG for dropout bits.  Timing is hard-synced by fetching the final
+dispatch with reference dense-Adam + dense embedding L2 semantics via the
+hybrid small/big-field update (tpurec.train.hybrid: one roofline Adam
+sweep with the small-vocab fields' matmul grads fused in via lax.pad of
+the contiguous prefix, big-field rows two-phase-corrected) and the rbg
+PRNG for dropout bits.  The one semantic deviation from bitwise
+dense-Adam is opt-in bf16 storage of the table's Adam moments
+(TrainConfig.embedding_moments_dtype; math stays f32, ~+17% throughput;
+library default remains exact f32 — tests/test_hybrid_embed.py bounds
+the divergence).  Timing is hard-synced by fetching the final
 losses to host (the remote-TPU runtime's block_until_ready can return
 before the dispatch chain completes).
 
@@ -62,7 +65,7 @@ def main():
         mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
         use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
     )
-    tcfg = TrainConfig(bs=BS)
+    tcfg = TrainConfig(bs=BS, embedding_moments_dtype="bfloat16")
     model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)
@@ -82,7 +85,7 @@ def main():
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
     tx = make_optimizer(tcfg)
     state = TrainState(
-        params=params, opt_state=init_sparse_opt_state(params, tx),
+        params=params, opt_state=init_sparse_opt_state(params, tx, "bfloat16"),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
     scan_steps, _ = make_hybrid_train_step(

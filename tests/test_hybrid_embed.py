@@ -129,3 +129,42 @@ def test_trainer_hybrid_end_to_end():
     out = tr.fit(data.train, data.valid,
                  domain_cnt_weight=data.domain_cnt_weight())
     assert out["valid"]["total_auc"] > 0.62
+
+
+def test_bf16_moments_mode():
+    """embedding_moments_dtype='bfloat16' (documented divergence): moments
+    stored bf16, math in f32 — params stay close to the exact-f32 run."""
+    model = build_model("mmoe", FIELD_DIMS, 2, DOMAIN_IDX, CFG)
+    tcfg = TrainConfig(bs=BS, wd=1e-8, embedding_moments_dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    x = np.stack([rng.integers(0, d, BS) for d in FIELD_DIMS], 1).astype(np.int32)
+    batch = {
+        "x": jnp.asarray(x),
+        "y": jnp.asarray(rng.integers(0, 2, BS).astype(np.float32)),
+        "group": jnp.asarray((x[:, DOMAIN_IDX] % 2).astype(np.int32)),
+        "mask": jnp.ones((BS,), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["x"])
+    params = variables["params"]
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(tcfg)
+    reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
+    step, _ = make_hybrid_train_step(
+        model, tcfg, reg, True, tuple(ms.keys()),
+        l2_reg_embedding=1e-5, optimizer=tx)
+    st = TrainState(
+        params=params,
+        opt_state=init_sparse_opt_state(params, tx, "bfloat16"),
+        model_state=ms, step=jnp.zeros((), jnp.int32))
+
+    _, st_f32, _, step_f32, *_ = _mk("hybrid")
+    for i in range(4):
+        r = jax.random.PRNGKey(i)
+        st, loss_b = step(st, batch, r)
+        st_f32, loss_f = step_f32(st_f32, batch, r)
+    assert st.opt_state[1].m.dtype == jnp.bfloat16
+    # bf16 moment rounding perturbs params only slightly after 4 steps
+    np.testing.assert_allclose(
+        np.array(st.params["embedding"]["table"]),
+        np.array(st_f32.params["embedding"]["table"]), atol=5e-4)
+    assert float(loss_b) == pytest.approx(float(loss_f), rel=1e-3)

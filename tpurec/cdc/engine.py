@@ -98,7 +98,8 @@ class CDCTrainer:
         self.emb_upd = EmbeddingUpdater(
             field_dims, cfg.train, cfg.model.l2_reg_embedding)
         self.state = TrainState(
-            params=params, opt_state=init_sparse_opt_state(params, self.tx),
+            params=params, opt_state=init_sparse_opt_state(
+                params, self.tx, cfg.train.embedding_moments_dtype),
             model_state=model_state, step=jnp.zeros((), jnp.int32),
         )
         if mesh is not None and shardings is not None:

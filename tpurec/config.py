@@ -153,6 +153,12 @@ class TrainConfig:
     # 'sparse': row-sparse lazy Adam on touched rows only (tpurec.train.
     #   sparse) — cheapest at very large vocabs, lazy-Adam semantics
     embedding_update: str = "hybrid"
+    # dtype of the embedding table's Adam moment tensors ('float32' or
+    # 'bfloat16').  bf16 halves the m/v HBM traffic of the dense sweep
+    # (~8% faster steps at Ali-CCP scale); a DOCUMENTED DIVERGENCE from
+    # the reference's f32 torch-Adam state (moment values round to bf16
+    # between steps; Adam math still runs in f32)
+    embedding_moments_dtype: str = "float32"
     # 'pickle' (single-file, sync) or 'orbax' (versioned dirs, async array
     # writes, multi-host-safe) for Trainer.make_checkpointer
     checkpoint_backend: str = "pickle"

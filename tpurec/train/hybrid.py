@@ -68,6 +68,10 @@ class EmbeddingUpdater:
 
     def __init__(self, field_dims, tcfg: TrainConfig, l2_reg_embedding: float,
                  big_vocab_threshold: int = BIG_VOCAB_THRESHOLD):
+        # moment storage dtype (TrainConfig.embedding_moments_dtype): Adam
+        # math always runs in f32; bf16 storage halves the sweep's m/v HBM
+        # traffic (documented divergence from the reference's f32 state)
+        self.moments_dtype = jnp.dtype(tcfg.embedding_moments_dtype)
         field_dims = tuple(int(d) for d in field_dims)
         self.field_dims = field_dims
         # the layout is the MODEL's (FusedEmbedding's default threshold):
@@ -147,9 +151,12 @@ class EmbeddingUpdater:
             u = u + jax.lax.pad(
                 g_small, jnp.asarray(0, g_small.dtype),
                 ((0, self.vocab - S, 0), (0, 0, 0)))
-        m2 = b1 * emb_opt.m + (1.0 - b1) * u
-        v2 = b2 * emb_opt.v + (1.0 - b2) * (u * u)
-        p2 = table - lr * (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+        dt = self.moments_dtype
+        m2f = b1 * emb_opt.m.astype(jnp.float32) + (1.0 - b1) * u
+        v2f = b2 * emb_opt.v.astype(jnp.float32) + (1.0 - b2) * (u * u)
+        p2 = table - lr * (m2f / bc1) / (jnp.sqrt(v2f / bc2) + eps)
+        m2 = m2f.astype(dt)
+        v2 = v2f.astype(dt)
 
         # ---- exact correction of the big-field touched rows
         if self.big:
@@ -179,15 +186,15 @@ class EmbeddingUpdater:
                 kw = dict(mode="drop", unique_indices=True,
                           indices_are_sorted=True)
             p_old = jnp.take(table, id_u, axis=0, mode="clip")
-            m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip")
-            v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip")
+            m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip").astype(jnp.float32)
+            v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip").astype(jnp.float32)
             ub = g_u + coef * p_old
             mb = b1 * m_old + (1.0 - b1) * ub
             vb = b2 * v_old + (1.0 - b2) * (ub * ub)
             pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
             p2 = p2.at[id_u].set(pb, **kw)
-            m2 = m2.at[id_u].set(mb, **kw)
-            v2 = v2.at[id_u].set(vb, **kw)
+            m2 = m2.at[id_u].set(mb.astype(dt), **kw)
+            v2 = v2.at[id_u].set(vb.astype(dt), **kw)
 
         return p2, SparseEmbedState(m=m2, v=v2), sumsq
 

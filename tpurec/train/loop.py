@@ -118,7 +118,8 @@ class Trainer:
         if self.sparse_embedding:
             from tpurec.train.sparse import init_sparse_opt_state
 
-            opt_state = init_sparse_opt_state(params, tx)
+            opt_state = init_sparse_opt_state(
+                params, tx, cfg.train.embedding_moments_dtype)
         else:
             opt_state = tx.init(params)
         self.state = TrainState(

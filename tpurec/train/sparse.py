@@ -151,16 +151,18 @@ def make_sparse_train_step(
         g_u = jnp.take(g_dense, flat_ids, axis=0)  # combined grad per occurrence
         # reference-style L2 (layer.py:31) + torch weight_decay, touched rows
         g_u = g_u + (2.0 * l2_reg_embedding + wd) * rows
-        m_u = b1 * jnp.take(emb_opt.m, flat_ids, axis=0) + (1 - b1) * g_u
-        v_u = b2 * jnp.take(emb_opt.v, flat_ids, axis=0) + (1 - b2) * jnp.square(g_u)
+        m_u = (b1 * jnp.take(emb_opt.m, flat_ids, axis=0).astype(jnp.float32)
+               + (1 - b1) * g_u)
+        v_u = (b2 * jnp.take(emb_opt.v, flat_ids, axis=0).astype(jnp.float32)
+               + (1 - b2) * jnp.square(g_u))
         t = (ts.step + 1).astype(jnp.float32)
         m_hat = m_u / (1 - b1 ** t)
         v_hat = v_u / (1 - b2 ** t)
         upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
         new_table = new_params["embedding"]["table"].at[flat_ids].set(rows - upd)
-        new_m = emb_opt.m.at[flat_ids].set(m_u)
-        new_v = emb_opt.v.at[flat_ids].set(v_u)
+        new_m = emb_opt.m.at[flat_ids].set(m_u.astype(emb_opt.m.dtype))
+        new_v = emb_opt.v.at[flat_ids].set(v_u.astype(emb_opt.v.dtype))
         new_params["embedding"]["table"] = new_table
 
         new_ts = ts.replace(
@@ -185,10 +187,10 @@ def make_sparse_train_step(
     return train_step, tx
 
 
-def init_sparse_opt_state(params, tx):
+def init_sparse_opt_state(params, tx, moments_dtype="float32"):
     table = params["embedding"]["table"]
     rest = {k: v for k, v in params.items() if k != "embedding"}
-    return (
-        tx.init(rest),
-        SparseEmbedState(m=jnp.zeros_like(table), v=jnp.zeros_like(table)),
-    )
+    dt = jnp.dtype(moments_dtype)
+    # two distinct buffers — donation forbids aliased pytree leaves
+    return (tx.init(rest), SparseEmbedState(
+        m=jnp.zeros(table.shape, dt), v=jnp.zeros(table.shape, dt)))
