@@ -85,7 +85,8 @@ def main():
     reg = reg_coef_tree(params, "mmoe", 1e-5, 1e-5, 1e-5)
     tx = make_optimizer(tcfg)
     state = TrainState(
-        params=params, opt_state=init_sparse_opt_state(params, tx, "bfloat16"),
+        params=params,
+        opt_state=init_sparse_opt_state(params, tx, tcfg.embedding_moments_dtype),
         model_state=model_state, step=jnp.zeros((), jnp.int32),
     )
     scan_steps, _ = make_hybrid_train_step(

@@ -129,6 +129,8 @@ def test_cdc_sharded_matches_single(data):
         single.cluster.matrix_A, sharded.cluster.matrix_A, rtol=0, atol=5e-5)
     assert list(single.cluster.domain2group_list) == \
         list(sharded.cluster.domain2group_list)
-    # table stayed row-sharded over the model axis
+    # table AND its Adam moments stayed row-sharded over the model axis
     tbl_sh = sharded.state.params["embedding"]["table"].sharding
     assert "model" in str(tbl_sh.spec)
+    m_sh = sharded.state.opt_state[1].m.sharding
+    assert "model" in str(m_sh.spec), m_sh

@@ -92,9 +92,18 @@ class CDCTrainer:
             cfg.model.l2_reg_embedding, cfg.model.l2_reg_linear, cfg.model.l2_reg_dnn,
         )
         self.tx = make_optimizer(cfg.train)
-        # burst steps use the hybrid embedding update (exact dense-Adam
-        # semantics without the per-step dense-grad scatter, see
-        # tpurec.train.hybrid) — opt_state is (optax_rest, SparseEmbedState)
+        # burst steps ALWAYS use the hybrid embedding update: it is
+        # bit-equivalent to the reference's dense Adam (so 'dense' would
+        # change nothing) and the lazy 'sparse' variant would alter the
+        # counterfactual matrices CDC clusters on — refuse rather than
+        # silently ignore the knob
+        if cfg.train.embedding_update == "sparse":
+            raise ValueError(
+                "CDCTrainer does not support embedding_update='sparse': "
+                "lazy Adam changes the treatment-burst dynamics the "
+                "affinity matrices are built from.  Use 'hybrid' (default; "
+                "bit-equivalent to 'dense')."
+            )
         self.emb_upd = EmbeddingUpdater(
             field_dims, cfg.train, cfg.model.l2_reg_embedding)
         self.state = TrainState(
@@ -826,6 +835,8 @@ class CDCTrainer:
         model)."""
         import pickle
 
+        from tpurec.train.checkpoint import EMBED_LAYOUT_VERSION
+
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = {
             "state": self.snapshot_bytes(),
@@ -845,6 +856,7 @@ class CDCTrainer:
             },
             "best_result": self.stopper.best_result,
             "extra": extra or {},
+            "embed_layout": EMBED_LAYOUT_VERSION,
         }
         with open(path, "wb") as f:
             pickle.dump(payload, f)
@@ -852,8 +864,11 @@ class CDCTrainer:
     def load_checkpoint(self, path: str) -> Dict:
         import pickle
 
+        from tpurec.train.checkpoint import check_embed_layout_version
+
         with open(path, "rb") as f:
             payload = pickle.load(f)
+        check_embed_layout_version(payload.get("embed_layout"), path)
         self.restore_bytes(payload["state"])
         if getattr(self, "cluster", None) is None:
             self.cluster = CDCClusterState.create(

@@ -64,7 +64,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--n_rows", type=int, default=50000)
     p.add_argument("--log_path", default=None)
     # device mesh: data x model axes (tpurec.parallel).  mesh_data=0 means
-    # "all remaining devices"; with 1 device no mesh is built.
+    # "all remaining devices after mesh_model"; -1 disables the mesh even
+    # on a multi-device host; with 1 device no mesh is built.
     p.add_argument("--mesh_data", type=int, default=0)
     p.add_argument("--mesh_model", type=int, default=1)
     args = p.parse_args(argv)
@@ -196,11 +197,17 @@ def main(argv=None):
 
     mesh = shardings = None
     n_dev = len(jax.devices())
-    want = args.mesh_data * max(args.mesh_model, 1)
-    if n_dev > 1 or want > 1:
+    if args.mesh_data >= 0 and (n_dev > 1 or args.mesh_model > 1):
         from tpurec.parallel import Shardings, make_mesh
 
-        mesh = make_mesh(args.mesh_data, max(args.mesh_model, 1))
+        n_model = max(args.mesh_model, 1)
+        n_data = args.mesh_data if args.mesh_data > 0 else max(n_dev // n_model, 1)
+        n_use = n_data * n_model
+        if n_use > n_dev:
+            raise SystemExit(
+                f"--mesh_data {n_data} x --mesh_model {n_model} needs "
+                f"{n_use} devices, have {n_dev}")
+        mesh = make_mesh(n_data, n_model, devices=jax.devices()[:n_use])
         shardings = Shardings(mesh)
 
     if "cdc" in cfg.model.model:

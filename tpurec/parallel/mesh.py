@@ -57,11 +57,22 @@ class Shardings:
         self.model_axis = model_axis
 
     def _spec_for_path(self, path: Tuple) -> P:
-        keys = [getattr(k, "key", str(k)) for k in path]
+        # DictKey has .key, GetAttrKey (flax struct fields) has .name
+        keys = [getattr(k, "key", None) or getattr(k, "name", None) or str(k)
+                for k in path]
+        keys = [str(k) for k in keys]
         full = "/".join(keys)
         for suffix in _ROW_SHARDED_SUFFIXES:
             if full.endswith(suffix):
                 return P(self.model_axis, None)
+        # the hybrid/sparse embedding-update paths keep the table's Adam
+        # moments in a SparseEmbedState(m, v) beside the optax state (paths
+        # end in bare '.m'/'.v'); they are table-shaped and must row-shard
+        # WITH the table — leaving them replicated costs 2 full-table
+        # copies per chip.  (optax's own mu/nu mirror the param tree and
+        # are caught by the suffix rule above.)
+        if keys and keys[-1] in ("m", "v"):
+            return P(self.model_axis, None)
         return P()  # replicated
 
     def params_sharding(self, params):

@@ -26,6 +26,24 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
+# Generation tag of the fused embedding table's ROW LAYOUT
+# (tpurec.nn.core.EmbeddingLayout).  v1 = cumsum field order, exact vocab;
+# v2 = small-vocab fields first + vocab padded to 8 rows.  Restoring a
+# checkpoint across generations would read wrong rows for every
+# reordered field — silently, when the padded shapes happen to match —
+# so loads refuse mismatched (or missing, i.e. pre-v2) tags.
+EMBED_LAYOUT_VERSION = "smallfirst-v2"
+
+
+def check_embed_layout_version(found, where: str):
+    if found != EMBED_LAYOUT_VERSION:
+        raise ValueError(
+            f"checkpoint {where} was written with embedding-table layout "
+            f"{found or 'v1 (pre-tag)'}, but this build uses "
+            f"{EMBED_LAYOUT_VERSION}; restoring would silently misread "
+            f"embedding rows.  Re-train or convert the checkpoint."
+        )
+
 
 class OrbaxBackend:
     """Async, versioned checkpoints via orbax.checkpoint.CheckpointManager."""
@@ -45,9 +63,11 @@ class OrbaxBackend:
 
     def save(self, step: int, state: Any, extra: Optional[Dict] = None):
         """Queue an async save of (state pytree, json-able extra)."""
+        extra = dict(extra or {})
+        extra["embed_layout"] = EMBED_LAYOUT_VERSION
         args = self._ocp.args.Composite(
             state=self._ocp.args.StandardSave(state),
-            extra=self._ocp.args.JsonSave(_jsonify(extra or {})),
+            extra=self._ocp.args.JsonSave(_jsonify(extra)),
         )
         self.manager.save(step, args=args)
 
@@ -63,7 +83,10 @@ class OrbaxBackend:
                 extra=self._ocp.args.JsonRestore(),
             ),
         )
-        return out["state"], out["extra"]
+        extra = dict(out["extra"])
+        check_embed_layout_version(
+            extra.pop("embed_layout", None), f"{self.directory}@{step}")
+        return out["state"], extra
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -114,6 +137,10 @@ class PickleBackend:
             "state": flax.serialization.to_bytes(state),
             "extra": extra or {},
             "step": step,
+            # fused-table row layout generation (tpurec.nn.core.
+            # EmbeddingLayout): restoring across layout generations would
+            # silently read wrong embedding rows
+            "embed_layout": EMBED_LAYOUT_VERSION,
         }
         tmp = self._path(step) + ".tmp"
         with open(tmp, "wb") as f:
@@ -131,6 +158,7 @@ class PickleBackend:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         with open(self._path(step), "rb") as f:
             payload = pickle.load(f)
+        check_embed_layout_version(payload.get("embed_layout"), self._path(step))
         state = flax.serialization.from_bytes(state_template, payload["state"])
         return state, payload["extra"]
 

@@ -173,10 +173,17 @@ class EmbeddingUpdater:
                 # beats the sort only for small N (N=1024: +46us over sort;
                 # N=7168: 205MB operand, measured ~2x SLOWER per CDC burst)
                 eq = (big_ids[:, None] == big_ids[None, :])
+                # non-finite guard: 0 * inf = nan would poison EVERY row of
+                # the matmul, not just the overflowed id's.  Zero them for
+                # the combine and add each occurrence's own raw value back —
+                # a non-finite gradient then corrupts only its own row
+                # (the dense path would propagate it to all duplicates of
+                # that id, which is strictly worse).
+                g_fin = jnp.where(jnp.isfinite(g_big), g_big, 0.0)
                 g_u = jax.lax.dot_general(
-                    eq.astype(g_big.dtype), g_big,
+                    eq.astype(g_big.dtype), g_fin,
                     (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=jax.lax.Precision.HIGHEST) - g_fin + g_big
                 id_u = big_ids
                 kw = {}
             else:

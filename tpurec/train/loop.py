@@ -263,18 +263,24 @@ class Trainer:
 
     def save_checkpoint(self, path: str, extra: Optional[Dict] = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        from tpurec.train.checkpoint import EMBED_LAYOUT_VERSION
+
         payload = {
             "state": self.snapshot(),
             "best_result": self.stopper.best_result,
             "config_model": self.cfg.model.model,
             "extra": extra or {},
+            "embed_layout": EMBED_LAYOUT_VERSION,
         }
         with open(path, "wb") as f:
             pickle.dump(payload, f)
 
     def load_checkpoint(self, path: str) -> Dict:
+        from tpurec.train.checkpoint import check_embed_layout_version
+
         with open(path, "rb") as f:
             payload = pickle.load(f)
+        check_embed_layout_version(payload.get("embed_layout"), path)
         self.restore(payload["state"])
         return payload
 
