@@ -68,6 +68,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     # on a multi-device host; with 1 device no mesh is built.
     p.add_argument("--mesh_data", type=int, default=0)
     p.add_argument("--mesh_model", type=int, default=1)
+    # performance knobs (TrainConfig)
+    p.add_argument("--embedding_update", default="hybrid",
+                   choices=["hybrid", "dense", "sparse"])
+    p.add_argument("--embedding_moments_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     if args.is_set_seed == 0:
@@ -93,7 +98,9 @@ def build_config(args: argparse.Namespace) -> Config:
             old_matrix_weight=args.old_matrix_weight,
         ),
         train=TrainConfig(
-            lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed
+            lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
+            embedding_update=args.embedding_update,
+            embedding_moments_dtype=args.embedding_moments_dtype,
         ),
         data=DataConfig(
             dataset_name=args.dataset_name, data_path=args.data_path,

@@ -216,8 +216,16 @@ def make_hybrid_train_step(
     optimizer: Optional[optax.GradientTransformation] = None,
     scan_k: Optional[int] = None,
     big_vocab_threshold: int = BIG_VOCAB_THRESHOLD,
+    indexed: bool = False,
 ):
     """Train step (or K-step scan when ``scan_k``) with the hybrid update.
+
+    ``indexed``: return a device-resident-dataset scan
+    (ts, Xdev, ydev, domain2group, idxs, masks, rngs) -> (ts, losses) that
+    gathers each batch from on-device arrays by row index — the epoch path
+    when the dataset fits in HBM (host batching shipped whole batches
+    through the host->device tunnel and capped end-to-end throughput at
+    ~90k ex/s vs the ~230k step ceiling).
 
     TrainState.opt_state is (optax_state_for_rest_params, SparseEmbedState),
     identical to the 'sparse' mode's layout."""
@@ -270,6 +278,31 @@ def make_hybrid_train_step(
             step=ts.step + 1,
         )
         return new_ts, loss + l2_reg_embedding * sumsq
+
+    if indexed:
+        domain_idx = model.domain_idx
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_steps_idx(ts: TrainState, Xdev, ydev, d2g, idxs, masks, rngs):
+            """Device-resident-dataset scan: the dataset lives on device and
+            only [K, bs] int32 row indices cross the host->device boundary
+            per dispatch (the reference also keeps its whole dataset
+            device-side, run.py:239)."""
+
+            def body(ts, xs):
+                idx, mask, rng = xs
+                x = jnp.take(Xdev, idx, axis=0)
+                batch = {
+                    "x": x,
+                    "y": jnp.take(ydev, idx, axis=0),
+                    "group": jnp.take(d2g, x[:, domain_idx], axis=0),
+                    "mask": mask,
+                }
+                return one_step(ts, (batch, rng))
+
+            return jax.lax.scan(body, ts, (idxs, masks, rngs))
+
+        return scan_steps_idx, tx
 
     if scan_k:
         @functools.partial(jax.jit, donate_argnums=(0,))

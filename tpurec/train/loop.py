@@ -41,6 +41,7 @@ from tpurec.train.reg import reg_coef_tree
 from tpurec.train.step import (
     TrainState,
     make_eval_step,
+    make_indexed_eval_scan,
     make_optimizer,
     make_scan_train_steps,
     make_train_step,
@@ -145,6 +146,16 @@ class Trainer:
                 self.mutable_keys, l2_reg_embedding=cfg.model.l2_reg_embedding,
                 optimizer=tx, scan_k=cfg.train.steps_per_dispatch,
             )
+            if self.embedding_update == "hybrid":
+                self.scan_steps_idx, _ = mk(
+                    self.model, cfg.train, self.reg_coefs, self.multi_tower,
+                    self.mutable_keys,
+                    l2_reg_embedding=cfg.model.l2_reg_embedding,
+                    optimizer=tx, scan_k=cfg.train.steps_per_dispatch,
+                    indexed=True,
+                )
+            else:
+                self.scan_steps_idx = None
         else:
             self.train_step, self.tx = make_train_step(
                 self.model, cfg.train, self.reg_coefs, self.multi_tower,
@@ -154,7 +165,10 @@ class Trainer:
                 self.model, cfg.train, self.reg_coefs, self.multi_tower,
                 self.mutable_keys, optimizer=tx,
             )
+            self.scan_steps_idx = None
         self.eval_step = make_eval_step(self.model, self.multi_tower)
+        self.eval_scan = make_indexed_eval_scan(
+            self.model, self.multi_tower, self.domain_idx)
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.stopper = EarlyStopper(cfg.train.early_stop)
         self._best_bytes: Optional[bytes] = None
@@ -163,8 +177,86 @@ class Trainer:
     def _group_of(self, X: np.ndarray) -> np.ndarray:
         return self.domain2group[X[:, self.domain_idx]]
 
+    # datasets up to this size train device-resident (v5e has 16GB HBM;
+    # leave room for params/moments/activations)
+    DEVICE_RESIDENT_BYTES = 4 << 30
+
+    def _device_dataset(self, X: np.ndarray, y: np.ndarray):
+        # small cache so alternating train/valid/test epochs don't re-upload
+        cache = getattr(self, "_dev_data_cache", None)
+        if cache is None:
+            cache = self._dev_data_cache = {}
+        key = (id(X), X.shape, id(y))
+        if key not in cache:
+            if len(cache) >= 4:
+                cache.clear()
+            cache[key] = (
+                jnp.asarray(X, jnp.int32),
+                jnp.asarray(y.astype(np.float32).reshape(-1)),
+                jnp.asarray(self.domain2group, jnp.int32),
+            )
+        return cache[key]
+
+    def _train_epoch_device_resident(self, X, y, epoch_i, log_fn) -> float:
+        """Epoch with the dataset on device: only [K, bs] int32 indices
+        cross the host->device tunnel per dispatch.  Identical batch
+        schedule to the host path (same shuffle rng, same tail padding) —
+        host batching measured 90k ex/s end-to-end vs ~230k here."""
+        bs = self.cfg.train.bs
+        K = max(1, self.cfg.train.steps_per_dispatch)
+        Xdev, ydev, d2g = self._device_dataset(X, y)
+        n = X.shape[0]
+        idx = np.arange(n)
+        np.random.default_rng(self.cfg.train.seed + epoch_i).shuffle(idx)
+        nb = -(-n // bs)
+        pad = nb * bs - n
+        mask = np.ones(nb * bs, np.float32)
+        if pad:
+            idx = np.concatenate([idx, np.zeros(pad, np.int64)])
+            mask[n:] = 0.0
+        idx = idx.reshape(nb, bs).astype(np.int32)
+        mask = mask.reshape(nb, bs)
+        # ONE upload for the whole epoch's schedule (per-chunk uploads pay
+        # the remote-runtime's ~25ms host->device latency each and
+        # serialize the dispatch loop — measured 3x slower)
+        idx_dev = jnp.asarray(idx)
+        mask_dev = jnp.asarray(mask)
+
+        loss_sum, n_batches, device_losses = 0.0, 0, []
+
+        def synced_loss():
+            nonlocal loss_sum, device_losses
+            for l in device_losses:
+                loss_sum += float(jnp.sum(l))
+            device_losses = []
+            return loss_sum / max(n_batches, 1)
+
+        # chunk size: every dispatch through the remote runtime costs
+        # ~25ms of submission latency, so the whole epoch runs as a few
+        # LONG scans (a scan compiles its body once regardless of length);
+        # log_interval bounds the chunk so log_fn still fires
+        CH = max(K, min(2048, self.cfg.train.log_interval_rows // bs
+                        if log_fn is not None else 2048))
+        for b0 in range(0, nb, CH):
+            k = min(CH, nb - b0)
+            self.dropout_rng, r = jax.random.split(self.dropout_rng)
+            self.state, losses = self.scan_steps_idx(
+                self.state, Xdev, ydev, d2g,
+                jax.lax.dynamic_slice_in_dim(idx_dev, b0, k, 0),
+                jax.lax.dynamic_slice_in_dim(mask_dev, b0, k, 0),
+                jax.random.split(r, k))
+            device_losses.append(losses)
+            n_batches += k
+            if log_fn is not None:
+                log_fn({"train_loss": synced_loss(), "epoch": epoch_i,
+                        "it": n_batches})
+        return synced_loss()
+
     def train_epoch(self, X: np.ndarray, y: np.ndarray, epoch_i: int,
                     log_fn=None) -> float:
+        if (self.scan_steps_idx is not None
+                and X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES):
+            return self._train_epoch_device_resident(X, y, epoch_i, log_fn)
         bs = self.cfg.train.bs
         batcher = ArrayBatcher(
             X, y, bs, group=self._group_of(X), shuffle=True,
@@ -228,19 +320,38 @@ class Trainer:
                 rows_since_log = 0
         return synced_loss()
 
+    EVAL_CHUNK = 128  # batches per eval dispatch (device-resident path)
+
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
         bs = self.cfg.train.bs
-        batcher = ArrayBatcher(X, y, bs, group=self._group_of(X), shuffle=False)
-        preds = []
-        for batch in batcher:
-            mask = batch["mask"]
-            p = self.eval_step(
-                self.state.params, self.state.model_state,
-                {k: jnp.asarray(v) for k, v in batch.items()},
-            )
-            preds.append(np.asarray(p)[mask > 0])
-        predicts = np.concatenate(preds)
+        if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
+            # device-resident: gather batches by index on device, predict
+            # EVAL_CHUNK batches per dispatch, one host fetch per chunk
+            Xdev, _, d2g = self._device_dataset(X, y)
+            n = X.shape[0]
+            nb = -(-n // bs)
+            idx = np.arange(nb * bs, dtype=np.int32)
+            idx[n:] = 0
+            idx = idx.reshape(nb, bs)
+            preds = []
+            for b0 in range(0, nb, self.EVAL_CHUNK):
+                chunk = jnp.asarray(idx[b0:b0 + self.EVAL_CHUNK])
+                ps = self.eval_scan(
+                    self.state.params, self.state.model_state, Xdev, d2g, chunk)
+                preds.append(np.asarray(ps).reshape(-1))
+            predicts = np.concatenate(preds)[:n]
+        else:
+            batcher = ArrayBatcher(X, y, bs, group=self._group_of(X), shuffle=False)
+            preds = []
+            for batch in batcher:
+                mask = batch["mask"]
+                p = self.eval_step(
+                    self.state.params, self.state.model_state,
+                    {k: jnp.asarray(v) for k, v in batch.items()},
+                )
+                preds.append(np.asarray(p)[mask > 0])
+            predicts = np.concatenate(preds)
         targets = y.reshape(-1)
         result = {
             "total_auc": auc_score(targets, predicts),

@@ -171,6 +171,29 @@ def make_scan_train_steps(
     return scan_steps, tx
 
 
+def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int):
+    """Device-resident-dataset eval: predict [K, bs] batches gathered by
+    row index in ONE dispatch (per-batch host fetches cost ~25ms tunnel
+    latency each on the remote-TPU runtime)."""
+
+    @jax.jit
+    def eval_scan(params, model_state, Xdev, d2g, idxs):
+        def body(c, idx):
+            x = jnp.take(Xdev, idx, axis=0)
+            group = jnp.take(d2g, x[:, domain_idx], axis=0)
+            out = model.apply(
+                {"params": params, **model_state}, x, group=group,
+                train=False,
+            )
+            logit = select_tower(out, group) if multi_tower else out
+            return c, jax.nn.sigmoid(logit)
+
+        _, ps = jax.lax.scan(body, 0, idxs)
+        return ps  # [K, bs]
+
+    return eval_scan
+
+
 def make_eval_step(model, multi_tower: bool):
     """Jitted eval: probabilities per row (group tower selected)."""
 
