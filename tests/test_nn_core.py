@@ -243,3 +243,30 @@ def test_stacked_mlp_equals_independent_mlps(rng):
             )
         h = h @ np.array(p["linear_out"]["weight"][t]) + np.array(p["linear_out"]["bias"][t])
         np.testing.assert_allclose(out[:, t], h, atol=1e-4)
+
+
+def test_embedding_layout_big_field_reorder(rng):
+    """Mixed small/big schema: big-vocab fields are laid out AFTER the
+    small prefix; lookups stay correct through the permuted offsets."""
+    from tpurec.nn.core import EmbeddingLayout, FusedEmbedding
+
+    field_dims = (9000, 5, 10000, 7)   # fields 0,2 are layout-big
+    lay = EmbeddingLayout(field_dims)
+    assert lay.small_fields == (1, 3)
+    assert lay.big_fields == (0, 2)
+    assert lay.small_rows == 12
+    assert lay.offsets[1] == 0 and lay.offsets[3] == 5
+    assert lay.offsets[0] == 12 and lay.offsets[2] == 12 + 9000
+    assert lay.vocab % 8 == 0 and lay.vocab >= lay.n_rows == 19012
+
+    mod = FusedEmbedding(field_dims, 4)
+    ids = np.stack([rng.integers(0, d, 16) for d in field_dims], 1).astype(np.int32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    table = np.array(variables["params"]["table"])
+    out = np.array(mod.apply(variables, jnp.asarray(ids)))
+    for b in range(16):
+        for f in range(4):
+            np.testing.assert_allclose(
+                out[b, f], table[lay.offsets[f] + ids[b, f]], rtol=1e-6)
+    # padding rows zero-initialized
+    assert np.all(table[lay.n_rows:] == 0.0)
