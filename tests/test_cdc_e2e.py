@@ -134,3 +134,22 @@ def test_cdc_sharded_matches_single(data):
     assert "model" in str(tbl_sh.spec)
     m_sh = sharded.state.opt_state[1].m.sharding
     assert "model" in str(m_sh.spec), m_sh
+
+
+def test_cdc_auc_metric_mode(data):
+    """use_metric='auc' (config.py:52 / cdc.py:113-119): matrices are
+    populated with per-domain AUC (higher=better) and clustering still
+    produces a valid partition."""
+    import dataclasses
+
+    cfg = _cfg("mmoe")
+    cfg = dataclasses.replace(cfg, cdc=dataclasses.replace(
+        cfg.cdc, use_metric="auc"))
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.setup_data(data.train, data.valid)
+    tr.update_matrix_cdc(cfg.cdc.update_matrix_step)
+    st = tr.cluster
+    assert np.all(np.isfinite(st.old_matrix_mask))
+    assert np.all((st.old_matrix_mask >= 0) & (st.old_matrix_mask <= 1))
+    labels = st.domain2group_list
+    assert len(labels) == data.n_domain and set(labels) <= {0, 1}

@@ -36,7 +36,7 @@ import flax.serialization
 
 from tpurec.config import Config
 from tpurec.cdc.algorithm import CDCClusterState, update_group
-from tpurec.data.loader import DomainBatcher, pad_batch
+from tpurec.data.loader import DomainBatcher
 from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
 from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
 from tpurec.train.hybrid import EmbeddingUpdater
@@ -355,18 +355,6 @@ class CDCTrainer:
             return jax.vmap(one_auc)(p, ys, masks)
 
         self._eval_all_domains_auc = eval_all_domains_auc
-
-        @jax.jit
-        def predict_split(params, model_state, batch, domain2group):
-            out = model.apply(
-                {"params": params, **model_state}, batch["x"], train=False
-            )
-            groups = domain2group[batch["x"][:, domain_idx]]
-            return jax.nn.sigmoid(
-                jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
-            )
-
-        self._predict_split = predict_split
 
         @jax.jit
         def predict_split_scan(params, model_state, xs, domain2group):
@@ -823,13 +811,18 @@ class CDCTrainer:
         y = np.concatenate(batcher.dom_y, axis=0)
         doms = X[:, self.domain_idx]
         n = len(y)
+        # batches per dispatch (one upload + one fetch each); padded to a
+        # chunk multiple — padding predictions are discarded, and ragged
+        # tails would force a second scan compile.  Chunk adapts down for
+        # small splits so padding waste stays <2x.
         nb = -(-n // bs)
-        CH = 128  # batches per dispatch; one upload + one fetch each
+        CH = min(128, nb)
+        nb = -(-nb // CH) * CH
         Xp = np.zeros((nb * bs, X.shape[1]), X.dtype)
         Xp[:n] = X
         preds = []
         for b0 in range(0, nb, CH):
-            k = min(CH, nb - b0)
+            k = CH
             xs = jnp.asarray(
                 Xp[b0 * bs:(b0 + k) * bs].reshape(k, bs, -1), jnp.int32)
             ps = self._predict_split_scan(

@@ -59,6 +59,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--update_interval", type=int, default=1000)
     p.add_argument("--affinity_func", default="minus")
     p.add_argument("--old_matrix_weight", type=float, default=0.0)
+    p.add_argument("--use_metric", default="loss", choices=["loss", "auc"])
     # synthetic-data knobs
     p.add_argument("--n_domain", type=int, default=6)
     p.add_argument("--n_rows", type=int, default=50000)
@@ -96,6 +97,7 @@ def build_config(args: argparse.Namespace) -> Config:
             p_weight_exp_decay=args.p_weight_exp_decay,
             affinity_func=args.affinity_func,
             old_matrix_weight=args.old_matrix_weight,
+            use_metric=args.use_metric,
         ),
         train=TrainConfig(
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
@@ -204,18 +206,22 @@ def main(argv=None):
 
     mesh = shardings = None
     n_dev = len(jax.devices())
-    if args.mesh_data >= 0 and (n_dev > 1 or args.mesh_model > 1):
-        from tpurec.parallel import Shardings, make_mesh
-
+    explicit = args.mesh_data > 0 or args.mesh_model > 1
+    if args.mesh_data >= 0 and (explicit or n_dev > 1):
         n_model = max(args.mesh_model, 1)
         n_data = args.mesh_data if args.mesh_data > 0 else max(n_dev // n_model, 1)
         n_use = n_data * n_model
         if n_use > n_dev:
+            # an EXPLICIT request that can't be satisfied must fail loudly —
+            # silently training unsharded would hide a misconfiguration
             raise SystemExit(
                 f"--mesh_data {n_data} x --mesh_model {n_model} needs "
                 f"{n_use} devices, have {n_dev}")
-        mesh = make_mesh(n_data, n_model, devices=jax.devices()[:n_use])
-        shardings = Shardings(mesh)
+        if n_use > 1:
+            from tpurec.parallel import Shardings, make_mesh
+
+            mesh = make_mesh(n_data, n_model, devices=jax.devices()[:n_use])
+            shardings = Shardings(mesh)
 
     if "cdc" in cfg.model.model:
         from tpurec.cdc import CDCTrainer

@@ -66,12 +66,14 @@ class Shardings:
             if full.endswith(suffix):
                 return P(self.model_axis, None)
         # the hybrid/sparse embedding-update paths keep the table's Adam
-        # moments in a SparseEmbedState(m, v) beside the optax state (paths
-        # end in bare '.m'/'.v'); they are table-shaped and must row-shard
-        # WITH the table — leaving them replicated costs 2 full-table
-        # copies per chip.  (optax's own mu/nu mirror the param tree and
-        # are caught by the suffix rule above.)
-        if keys and keys[-1] in ("m", "v"):
+        # moments in a SparseEmbedState(m, v) inside opt_state; they are
+        # table-shaped and must row-shard WITH the table — leaving them
+        # replicated costs 2 full-table copies per chip.  Scoped to
+        # opt_state so a future model param named 'm'/'v' can't trip it.
+        # (optax's own mu/nu mirror the param tree and are caught by the
+        # suffix rule above.)
+        if keys and keys[-1] in ("m", "v") and any(
+                "opt_state" in k for k in keys):
             return P(self.model_axis, None)
         return P()  # replicated
 

@@ -172,18 +172,22 @@ class EmbeddingUpdater:
                 # O(N^2) though: the materialized [N, N] f32 dot operand
                 # beats the sort only for small N (N=1024: +46us over sort;
                 # N=7168: 205MB operand, measured ~2x SLOWER per CDC burst)
-                eq = (big_ids[:, None] == big_ids[None, :])
+                eqf = (big_ids[:, None] == big_ids[None, :]).astype(g_big.dtype)
                 # non-finite guard: 0 * inf = nan would poison EVERY row of
-                # the matmul, not just the overflowed id's.  Zero them for
-                # the combine and add each occurrence's own raw value back —
-                # a non-finite gradient then corrupts only its own row
-                # (the dense path would propagate it to all duplicates of
-                # that id, which is strictly worse).
+                # the matmul, not just the overflowed id's.  Combine the
+                # finite values, then mark every occurrence of an id that
+                # had ANY non-finite contribution as nan — identical across
+                # duplicates (keeping the .set writes idempotent) and
+                # matching the dense scatter-add's "that id's row is
+                # poisoned" semantics.
                 g_fin = jnp.where(jnp.isfinite(g_big), g_big, 0.0)
-                g_u = jax.lax.dot_general(
-                    eq.astype(g_big.dtype), g_fin,
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST) - g_fin + g_big
+                dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+                    a, b, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                g_u = dot(eqf, g_fin)
+                bad = dot(eqf, jnp.any(~jnp.isfinite(g_big), axis=-1,
+                                       keepdims=True).astype(g_big.dtype))
+                g_u = jnp.where(bad > 0, jnp.nan, g_u)
                 id_u = big_ids
                 kw = {}
             else:

@@ -182,20 +182,30 @@ class Trainer:
     DEVICE_RESIDENT_BYTES = 4 << 30
 
     def _device_dataset(self, X: np.ndarray, y: np.ndarray):
-        # small cache so alternating train/valid/test epochs don't re-upload
+        # small cache so alternating train/valid/test epochs don't re-upload.
+        # Holds references to the HOST arrays too: the key uses id(), which
+        # CPython reuses after GC — a dead X would let a new same-shape
+        # array silently hit the stale device copy.  Aggregate device bytes
+        # are capped (16GB HBM on v5e); oldest entries evict first.
         cache = getattr(self, "_dev_data_cache", None)
         if cache is None:
             cache = self._dev_data_cache = {}
         key = (id(X), X.shape, id(y))
         if key not in cache:
-            if len(cache) >= 4:
-                cache.clear()
+            budget = int(1.5 * self.DEVICE_RESIDENT_BYTES)  # aggregate cap
+            while cache and (
+                sum(e[0].nbytes + e[1].nbytes for e in cache.values())
+                + X.nbytes + y.nbytes > budget
+                or len(cache) >= 4
+            ):
+                cache.pop(next(iter(cache)))
             cache[key] = (
+                X, y,
                 jnp.asarray(X, jnp.int32),
                 jnp.asarray(y.astype(np.float32).reshape(-1)),
                 jnp.asarray(self.domain2group, jnp.int32),
             )
-        return cache[key]
+        return cache[key][2:]
 
     def _train_epoch_device_resident(self, X, y, epoch_i, log_fn) -> float:
         """Epoch with the dataset on device: only [K, bs] int32 indices
@@ -330,13 +340,19 @@ class Trainer:
             # EVAL_CHUNK batches per dispatch, one host fetch per chunk
             Xdev, _, d2g = self._device_dataset(X, y)
             n = X.shape[0]
+            # pad the batch count to a chunk multiple: predictions past n
+            # are discarded anyway and a ragged tail would force a second
+            # scan compile (trip count is baked into the executable).  The
+            # chunk adapts down for small splits so padding waste stays <2x.
             nb = -(-n // bs)
-            idx = np.arange(nb * bs, dtype=np.int32)
+            ch = min(self.EVAL_CHUNK, nb)
+            nb = -(-nb // ch) * ch
+            idx = np.arange(nb * bs, dtype=np.int64)
             idx[n:] = 0
-            idx = idx.reshape(nb, bs)
+            idx = idx.reshape(nb, bs).astype(np.int32)
             preds = []
-            for b0 in range(0, nb, self.EVAL_CHUNK):
-                chunk = jnp.asarray(idx[b0:b0 + self.EVAL_CHUNK])
+            for b0 in range(0, nb, ch):
+                chunk = jnp.asarray(idx[b0:b0 + ch])
                 ps = self.eval_scan(
                     self.state.params, self.state.model_state, Xdev, d2g, chunk)
                 preds.append(np.asarray(ps).reshape(-1))
