@@ -75,3 +75,39 @@ def test_early_stop_and_checkpoint(tmp_path, data):
     assert payload["extra"]["note"] == "test"
     r2 = tr2.evaluate(data.valid[0], data.valid[1], data.domain_cnt_weight())
     assert r1["total_auc"] == pytest.approx(r2["total_auc"], abs=1e-9)
+
+
+def test_device_resident_epoch_matches_host_path(data):
+    """The device-resident indexed epoch and the host-batching epoch share
+    the batch schedule exactly; with dropout=0 their losses and params are
+    bit-comparable."""
+    import dataclasses
+    import jax
+    import numpy as np
+
+    cfg = _cfg("mmoe", epoch=1)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, dropout=0.0))
+    X, y = data.train
+
+    tr_dev = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain))
+    loss_dev = tr_dev.train_epoch(X, y, 0)
+
+    tr_host = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                      domain2group=np.arange(data.n_domain))
+    tr_host.DEVICE_RESIDENT_BYTES = 0  # force the host-batching path
+    loss_host = tr_host.train_epoch(X, y, 0)
+
+    assert loss_dev == pytest.approx(loss_host, rel=1e-5)
+    a = np.asarray(tr_dev.state.params["embedding"]["table"])
+    b = np.asarray(tr_host.state.params["embedding"]["table"])
+    # ulp-level: the paths pad the tail batch with different (masked-out)
+    # row ids, so zero-grad row corrections round differently by ~2 ulps
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # eval paths agree too
+    ev_d = tr_dev.evaluate(data.valid[0], data.valid[1])
+    tr_host.DEVICE_RESIDENT_BYTES = 0
+    ev_h = tr_host.evaluate(data.valid[0], data.valid[1])
+    # params equal to 2e-6 -> AUC essentially identical
+    assert ev_d["total_auc"] == pytest.approx(ev_h["total_auc"], abs=2e-3)
