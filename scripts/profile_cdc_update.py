@@ -33,6 +33,7 @@ def main():
     tr.setup_data(data.train, data.valid)
 
     t0 = time.perf_counter()
+    tr.warm_compile(cfg.cdc.update_matrix_step)  # parallel AOT compiles
     tr.update_matrix_cdc(cfg.cdc.update_matrix_step)
     t1 = time.perf_counter()
     print(f"first matrix update (incl. compiles): {t1-t0:7.1f} s")
