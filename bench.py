@@ -65,7 +65,10 @@ def main():
         mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
         use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
     )
-    tcfg = TrainConfig(bs=BS, embedding_moments_dtype="bfloat16")
+    tcfg = TrainConfig(
+        bs=BS, embedding_moments_dtype="bfloat16",
+        compute_dtype=os.environ.get("TPUREC_COMPUTE_DTYPE", "float32"),
+    )
     model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)

@@ -1,7 +1,11 @@
-"""Attribute CDC matrix-update time: mask/A/B blocks, padded-step cost,
-eval cost — at Ali-CCP scale on the real chip."""
+"""Trace the CDC populate block with 0 valid treatment steps (pure
+eval+rollback rows) and attribute the ~75 ms/row device time by op."""
 
+import glob
+import os
+import tempfile
 import time
+from collections import defaultdict
 
 import numpy as np
 
@@ -10,7 +14,6 @@ def main():
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
-    import jax.numpy as jnp
 
     from tpurec.cdc.engine import CDCTrainer
     from tpurec.config import Config, CDCConfig, ModelConfig, TrainConfig
@@ -38,9 +41,9 @@ def main():
     D = n_domain
     K_max = tr._burst_k_max(k)
     W = cfg.cdc.group_chunk_size * bs
-    print(f"K_max={K_max} W={W}")
+    R = 10
 
-    def mk_block(R, n_valid):
+    def mk_block(n_valid):
         bidx = np.zeros((R, K_max, W), np.int32)
         bmask = np.ones((R, K_max, W), np.float32)
         bvalid = np.zeros((R, K_max), np.float32)
@@ -53,23 +56,43 @@ def main():
                 bidx[r, s] = np.random.randint(0, 100_000, W)
         return bidx, bmask, bvalid, eidx, emask
 
-    # warm compile — MUST use R=10 (the timed shape): _populate_rows
-    # compiles per (R, K, W) shape, so a different warm-up R would charge
-    # a ~35s recompile to the first timed block
-    blk = mk_block(10, K_max)
+    blk = mk_block(0)
+    tr._run_populate(*blk)  # warm compile at the traced shape
+    t0 = time.perf_counter()
     tr._run_populate(*blk)
+    print(f"block: {(time.perf_counter()-t0)/R*1e3:.1f} ms/row")
 
-    for R, n_valid, label in [
-        (10, K_max, f"10 rows, all {K_max} steps valid"),
-        (10, K_max // 2, f"10 rows, {K_max//2} valid steps"),
-        (10, 0, "10 rows, 0 valid steps (pure eval+rollback)"),
-    ]:
-        blk = mk_block(R, n_valid)
-        t0 = time.perf_counter()
+    tmpdir = tempfile.mkdtemp(prefix="jaxtrace")
+    with jax.profiler.trace(tmpdir):
         tr._run_populate(*blk)
-        dt = time.perf_counter() - t0
-        per_row = dt / R
-        print(f"{label:42s}: {dt:6.2f} s  ({per_row*1e3:7.1f} ms/row)")
+
+    paths = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print("no trace produced")
+        return
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    for path in paths:
+        xs_pb = xplane_pb2.XSpace()
+        xs_pb.ParseFromString(open(path, "rb").read())
+        for plane in xs_pb.planes:
+            if "TPU" not in plane.name:
+                continue
+            ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+            for line in plane.lines:
+                total = defaultdict(float)
+                count = defaultdict(int)
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, "?")
+                    total[name] += ev.duration_ps / 1e9  # ms
+                    count[name] += 1
+                if not total:
+                    continue
+                print(f"\n=== {plane.name} / {line.name!r}: "
+                      f"{sum(total.values())/R:.2f} ms/row, "
+                      f"{len(total)} op kinds ===")
+                for name, ms in sorted(total.items(), key=lambda kv: -kv[1])[:60]:
+                    print(f"  {ms/R*1e3:9.1f} us/row x{count[name]//R:<5d} {name[:95]}")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,7 @@ from tpurec.cdc.algorithm import CDCClusterState, update_group
 from tpurec.data.loader import DomainBatcher
 from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
 from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
+from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.hybrid import EmbeddingUpdater
 from tpurec.train.loop import EarlyStopper
 from tpurec.train.reg import reg_coef_tree, regularization_loss
@@ -155,15 +156,16 @@ class CDCTrainer:
 
         def forward_train(rest_params, rows, model_state, x, y, mask, rng,
                           mode, domain2group):
-            out, new_state = model.apply(
-                {"params": rest_params, **model_state},
-                x,
-                train=True,
-                row_mask=mask,
-                mutable=mutable,
-                rngs={"dropout": rng},
-                embed_rows=rows,
-            )
+            with _precision_scope(cfg.train.compute_dtype):
+                out, new_state = model.apply(
+                    {"params": rest_params, **model_state},
+                    x,
+                    train=True,
+                    row_mask=mask,
+                    mutable=mutable,
+                    rngs={"dropout": rng},
+                    embed_rows=rows,
+                )
             if mode == "warmup":
                 # mean of tower probabilities (cdc.py:99-102)
                 probs = jnp.mean(jax.nn.sigmoid(out), axis=1)
@@ -240,7 +242,9 @@ class CDCTrainer:
             flat_idx = idx.reshape(D * bs)
             x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
-            out = model.apply({"params": params, **model_state}, x, train=False)
+            with _precision_scope(cfg.train.compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x, train=False)
             groups = d2g[x[:, domain_idx]]
             logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
             vals = logit.reshape(D, bs)
@@ -317,7 +321,9 @@ class CDCTrainer:
             flat_idx = idx.reshape(D * bs)
             x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
-            out = model.apply({"params": params, **model_state}, x, train=False)
+            with _precision_scope(cfg.train.compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x, train=False)
             groups = domain2group[x[:, domain_idx]]
             logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
             probs = jax.nn.sigmoid(logit).reshape(D, bs)
@@ -338,7 +344,9 @@ class CDCTrainer:
             flat_idx = idx.reshape(D * bs)
             x = shard_rows(jnp.take(Xdev, flat_idx, axis=0))
             ys = jnp.take(ydev, flat_idx, axis=0).reshape(D, bs)
-            out = model.apply({"params": params, **model_state}, x, train=False)
+            with _precision_scope(cfg.train.compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x, train=False)
             groups = domain2group[x[:, domain_idx]]
             logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
             p = logit.reshape(D, bs)  # AUC is rank-based: logits suffice
@@ -365,8 +373,9 @@ class CDCTrainer:
 
             def body(c, x):
                 x = shard_rows(x)
-                out = model.apply(
-                    {"params": params, **model_state}, x, train=False)
+                with _precision_scope(cfg.train.compute_dtype):
+                    out = model.apply(
+                        {"params": params, **model_state}, x, train=False)
                 groups = domain2group[x[:, domain_idx]]
                 return c, jax.nn.sigmoid(
                     jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0])

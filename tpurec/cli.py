@@ -74,6 +74,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["hybrid", "dense", "sparse"])
     p.add_argument("--embedding_moments_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args(argv)
 
     if args.is_set_seed == 0:
@@ -103,6 +105,7 @@ def build_config(args: argparse.Namespace) -> Config:
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
             embedding_update=args.embedding_update,
             embedding_moments_dtype=args.embedding_moments_dtype,
+            compute_dtype=args.compute_dtype,
         ),
         data=DataConfig(
             dataset_name=args.dataset_name, data_path=args.data_path,

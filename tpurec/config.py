@@ -138,7 +138,12 @@ class TrainConfig:
     is_evaluate_multi_domain: bool = True     # config.py:11
     log_interval_rows: int = 204800           # run.py:474 (log every N rows)
     save_path: str = "save"
-    # compute dtype for dense math; params/accum stay f32
+    # operand dtype of dense contractions ('float32' or 'bfloat16').
+    # bf16 feeds the MXU at its native rate (~4x f32 on v5e); every
+    # contraction still ACCUMULATES and emits f32, and params, optimizer
+    # state, BatchNorm stats, softmax and all elementwise math stay f32
+    # (tpurec.nn.precision).  A DOCUMENTED DIVERGENCE from the
+    # reference's all-f32 torch math when enabled.
     compute_dtype: str = "float32"
     # train steps fused into one scanned device dispatch (amortizes the
     # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1

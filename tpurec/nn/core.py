@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpurec.nn import initializers as tinit
+from tpurec.nn.precision import cast_operands
 
 
 def activation(name: str):
@@ -54,7 +55,8 @@ class Linear(nn.Module):
     def __call__(self, x):
         in_dim = x.shape[-1]
         w = self.param("weight", tinit.linear_weight_init(in_dim), (in_dim, self.features))
-        y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+        xc, wc = cast_operands(x, w)
+        y = jnp.einsum("...i,io->...o", xc, wc, preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", tinit.linear_bias_init(in_dim), (self.features,))
             y = y + b
@@ -78,10 +80,11 @@ class StackedLinear(nn.Module):
         w = self.param(
             "weight", tinit.linear_weight_init(in_dim), (self.n_stack, in_dim, self.features)
         )
+        xc, wc = cast_operands(x, w)
         if x.ndim == 2:
-            y = jnp.einsum("bi,tio->bto", x, w, preferred_element_type=jnp.float32)
+            y = jnp.einsum("bi,tio->bto", xc, wc, preferred_element_type=jnp.float32)
         elif x.ndim == 3:
-            y = jnp.einsum("bti,tio->bto", x, w, preferred_element_type=jnp.float32)
+            y = jnp.einsum("bti,tio->bto", xc, wc, preferred_element_type=jnp.float32)
         else:
             raise ValueError(f"StackedLinear expects rank-2/3 input, got {x.shape}")
         if self.use_bias:

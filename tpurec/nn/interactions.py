@@ -27,6 +27,7 @@ import numpy as np
 
 from tpurec.nn import initializers as tinit
 from tpurec.nn.core import Linear
+from tpurec.nn.precision import cast_operands
 
 
 class FactorizationMachine(nn.Module):
@@ -78,7 +79,8 @@ class CrossNetwork(nn.Module):
 
         x0 = x
         for i in range(self.num_layers):
-            xw = jnp.einsum("bi,io->bo", x, ws[i], preferred_element_type=jnp.float32)
+            xc, wc = cast_operands(x, ws[i])
+            xw = jnp.einsum("bi,io->bo", xc, wc, preferred_element_type=jnp.float32)
             x = x0 * xw + bs[i] + x
         return x
 
@@ -95,7 +97,8 @@ class CrossNetV2(nn.Module):
         for i in range(self.num_layers):
             w = self.param(f"w_{i}", tinit.linear_weight_init(in_dim), (in_dim, in_dim))
             b = self.param(f"b_{i}", tinit.zeros_init, (in_dim,))
-            x = x0 * jnp.einsum("bi,io->bo", x, w, preferred_element_type=jnp.float32) + b + x
+            xc, wc = cast_operands(x, w)
+            x = x0 * jnp.einsum("bi,io->bo", xc, wc, preferred_element_type=jnp.float32) + b + x
         return x
 
 
@@ -129,10 +132,13 @@ class CrossNetMix(nn.Module):
             c = self.param(f"c_{i}", tinit.xavier_normal_init(), (E, r, r))
             bias = self.param(f"bias_{i}", tinit.zeros_init, (in_dim,))
 
-            gate = jnp.einsum("bi,ei->be", x, g, preferred_element_type=jnp.float32)
-            vx = jnp.tanh(jnp.einsum("bi,eir->ber", x, v, preferred_element_type=jnp.float32))
-            cv = jnp.tanh(jnp.einsum("ber,eqr->beq", vx, c, preferred_element_type=jnp.float32))
-            uv = jnp.einsum("beq,eiq->bei", cv, u, preferred_element_type=jnp.float32)
+            xc, gc, vc, uc, cc = cast_operands(x, g, v, u, c)
+            gate = jnp.einsum("bi,ei->be", xc, gc, preferred_element_type=jnp.float32)
+            vx = jnp.tanh(jnp.einsum("bi,eir->ber", xc, vc, preferred_element_type=jnp.float32))
+            vxc = cast_operands(vx)
+            cv = jnp.tanh(jnp.einsum("ber,eqr->beq", vxc, cc, preferred_element_type=jnp.float32))
+            cvc = cast_operands(cv)
+            uv = jnp.einsum("beq,eiq->bei", cvc, uc, preferred_element_type=jnp.float32)
             expert_out = x0[:, None, :] * (uv + bias[None, None, :])  # [B, E, in]
             mix = jnp.einsum(
                 "bei,be->bi", expert_out, jax.nn.softmax(gate, axis=1),
@@ -168,7 +174,8 @@ class FieldMultiHeadAttention(nn.Module):
         hd = A // H
         w_in = self.param("in_proj_weight", lambda k, s: _xavier_uniform_2d(k, (s[0], s[1])), (A, 3 * A))
         b_in = self.param("in_proj_bias", tinit.zeros_init, (3 * A,))
-        qkv = jnp.einsum("bfa,ac->bfc", x, w_in, preferred_element_type=jnp.float32) + b_in
+        xc, w_in_c = cast_operands(x, w_in)
+        qkv = jnp.einsum("bfa,ac->bfc", xc, w_in_c, preferred_element_type=jnp.float32) + b_in
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         # heads are split by RESHAPE only — no explicit transposes; the
@@ -178,16 +185,19 @@ class FieldMultiHeadAttention(nn.Module):
         q4 = q.reshape(B, F, H, hd)
         k4 = k.reshape(B, F, H, hd)
         v4 = v.reshape(B, F, H, hd)
-        scores = jnp.einsum("bfhd,bghd->bhfg", q4, k4,
+        q4c, k4c = cast_operands(q4, k4)
+        scores = jnp.einsum("bfhd,bghd->bhfg", q4c, k4c,
                             preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(hd)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = nn.Dropout(rate=self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhfg,bghd->bfhd", attn, v4,
+        attnc, v4c = cast_operands(attn, v4)
+        out = jnp.einsum("bhfg,bghd->bfhd", attnc, v4c,
                          preferred_element_type=jnp.float32).reshape(B, F, A)
         w_out = self.param("out_proj_weight", tinit.linear_weight_init(A), (A, A))
         b_out = self.param("out_proj_bias", tinit.zeros_init, (A,))
-        return jnp.einsum("bfa,ao->bfo", out, w_out, preferred_element_type=jnp.float32) + b_out
+        outc, w_out_c = cast_operands(out, w_out)
+        return jnp.einsum("bfa,ao->bfo", outc, w_out_c, preferred_element_type=jnp.float32) + b_out
 
 
 class _LinearParams(nn.Module):

@@ -166,9 +166,12 @@ class Trainer:
                 self.mutable_keys, optimizer=tx,
             )
             self.scan_steps_idx = None
-        self.eval_step = make_eval_step(self.model, self.multi_tower)
+        self.eval_step = make_eval_step(
+            self.model, self.multi_tower,
+            compute_dtype=cfg.train.compute_dtype)
         self.eval_scan = make_indexed_eval_scan(
-            self.model, self.multi_tower, self.domain_idx)
+            self.model, self.multi_tower, self.domain_idx,
+            compute_dtype=cfg.train.compute_dtype)
         self.dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.stopper = EarlyStopper(cfg.train.early_stop)
         self._best_bytes: Optional[bytes] = None
@@ -329,6 +332,81 @@ class Trainer:
                         "it": n_batches})
                 rows_since_log = 0
         return synced_loss()
+
+    def train_epoch_multihost(self, X_local: np.ndarray, y_local: np.ndarray,
+                              n_global_rows: int, epoch_i: int,
+                              log_fn=None) -> float:
+        """One epoch where each process feeds only ITS dataset shard
+        (tpurec.parallel.feed.process_shard) of a global (data, model)
+        mesh.  Every process runs the same n_batches collective steps
+        (feed.epoch_plan); short local streams are padded with
+        fully-masked filler batches — the global batch still carries the
+        other hosts' real rows, and masked rows contribute nothing to the
+        loss, gradients, or BatchNorm statistics.
+
+        On a single-process mesh this degrades to the host-batching epoch
+        with explicitly data-sharded inputs (tests cover that path; the
+        multi-process assembly is the same code via
+        jax.make_array_from_process_local_data).
+        """
+        if self.mesh is None:
+            raise ValueError("train_epoch_multihost requires a mesh")
+        from tpurec.parallel.feed import GlobalBatchFeed, epoch_plan
+
+        bs = self.cfg.train.bs
+        feed = GlobalBatchFeed(self.mesh, self.cfg.mesh.data_axis)
+        nb, bs_local = epoch_plan(n_global_rows, bs, feed)
+        K = max(1, self.cfg.train.steps_per_dispatch)
+        batcher = ArrayBatcher(
+            X_local, y_local, bs_local, group=self._group_of(X_local),
+            shuffle=True,
+            rng=np.random.default_rng(
+                self.cfg.train.seed + epoch_i + 7919 * jax.process_index()),
+        ) if len(X_local) else None
+        n_fields = X_local.shape[1] if X_local.ndim == 2 else len(
+            self.model.field_dims)
+        filler = {
+            "x": np.zeros((bs_local, n_fields), np.int32),
+            "y": np.zeros(bs_local, np.float32),
+            "group": np.zeros(bs_local, np.int32),
+            "mask": np.zeros(bs_local, np.float32),
+        }
+
+        def local_stream():
+            produced = 0
+            if batcher is not None:
+                for b in batcher:
+                    if produced == nb:  # can't happen (epoch_plan bound)
+                        break
+                    produced += 1
+                    yield b
+            while produced < nb:
+                produced += 1
+                yield filler
+
+        loss_sum, n_batches = 0.0, 0
+        pending = []
+        for batch in local_stream():
+            pending.append(batch)
+            if len(pending) < K and n_batches + len(pending) < nb:
+                continue
+            stacked = {k: np.stack([b[k] for b in pending])
+                       for k in pending[0]}
+            gb = feed.global_stacked_batch(stacked, bs)
+            self.dropout_rng, r = jax.random.split(self.dropout_rng)
+            if len(pending) == 1:
+                gb1 = {k: v[0] for k, v in gb.items()}
+                self.state, losses = self.train_step(self.state, gb1, r)
+            else:
+                self.state, losses = self.scan_steps(
+                    self.state, gb, jax.random.split(r, len(pending)))
+            loss_sum += float(jnp.sum(losses))
+            n_batches += len(pending)
+            pending = []
+            if log_fn is not None:
+                log_fn({"train_loss": loss_sum / n_batches,
+                        "epoch": epoch_i, "it": n_batches})
+        return loss_sum / max(n_batches, 1)
 
     EVAL_CHUNK = 128  # batches per eval dispatch (device-resident path)
 

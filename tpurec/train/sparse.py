@@ -39,6 +39,7 @@ import numpy as np
 import optax
 
 from tpurec.config import TrainConfig
+from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.reg import regularization_loss
 from tpurec.train.step import TrainState, bce_with_logits, make_optimizer, select_tower
 
@@ -107,16 +108,17 @@ def make_sparse_train_step(
     def loss_fn(rest_params, rows, model_state, batch, rng):
         # with embed_rows given, the FusedEmbedding submodule is never
         # constructed, so params need not contain the table at all
-        out, new_state = model.apply(
-            {"params": rest_params, **model_state},
-            batch["x"],
-            group=batch.get("group"),
-            train=True,
-            row_mask=batch.get("mask"),
-            mutable=list(mutable_keys),
-            rngs={"dropout": rng},
-            embed_rows=rows,
-        )
+        with _precision_scope(tcfg.compute_dtype):
+            out, new_state = model.apply(
+                {"params": rest_params, **model_state},
+                batch["x"],
+                group=batch.get("group"),
+                train=True,
+                row_mask=batch.get("mask"),
+                mutable=list(mutable_keys),
+                rngs={"dropout": rng},
+                embed_rows=rows,
+            )
         logit = select_tower(out, batch["group"]) if multi_tower else out
         loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
         loss = loss + regularization_loss(rest_params, reg_coefs_rest)

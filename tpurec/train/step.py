@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import optax
 
 from tpurec.config import TrainConfig
+from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.reg import regularization_loss
 
 
@@ -85,15 +86,16 @@ def make_train_step(
     mutable_keys = tuple(mutable_keys)
 
     def loss_fn(params, model_state, batch, rng):
-        out, new_state = model.apply(
-            {"params": params, **model_state},
-            batch["x"],
-            group=batch.get("group"),
-            train=True,
-            row_mask=batch.get("mask"),
-            mutable=list(mutable_keys),
-            rngs={"dropout": rng},
-        )
+        with _precision_scope(tcfg.compute_dtype):
+            out, new_state = model.apply(
+                {"params": params, **model_state},
+                batch["x"],
+                group=batch.get("group"),
+                train=True,
+                row_mask=batch.get("mask"),
+                mutable=list(mutable_keys),
+                rngs={"dropout": rng},
+            )
         logit = select_tower(out, batch["group"]) if multi_tower else out
         loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
         loss = loss + regularization_loss(params, reg_coefs)
@@ -138,15 +140,16 @@ def make_scan_train_steps(
     mutable_keys = tuple(mutable_keys)
 
     def loss_fn(params, model_state, batch, rng):
-        out, new_state = model.apply(
-            {"params": params, **model_state},
-            batch["x"],
-            group=batch.get("group"),
-            train=True,
-            row_mask=batch.get("mask"),
-            mutable=list(mutable_keys),
-            rngs={"dropout": rng},
-        )
+        with _precision_scope(tcfg.compute_dtype):
+            out, new_state = model.apply(
+                {"params": params, **model_state},
+                batch["x"],
+                group=batch.get("group"),
+                train=True,
+                row_mask=batch.get("mask"),
+                mutable=list(mutable_keys),
+                rngs={"dropout": rng},
+            )
         logit = select_tower(out, batch["group"]) if multi_tower else out
         loss = bce_with_logits(logit, batch["y"], batch.get("mask"))
         return loss + regularization_loss(params, reg_coefs), new_state
@@ -171,7 +174,8 @@ def make_scan_train_steps(
     return scan_steps, tx
 
 
-def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int):
+def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int,
+                           compute_dtype: str = "float32"):
     """Device-resident-dataset eval: predict [K, bs] batches gathered by
     row index in ONE dispatch (per-batch host fetches cost ~25ms tunnel
     latency each on the remote-TPU runtime)."""
@@ -181,10 +185,11 @@ def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int):
         def body(c, idx):
             x = jnp.take(Xdev, idx, axis=0)
             group = jnp.take(d2g, x[:, domain_idx], axis=0)
-            out = model.apply(
-                {"params": params, **model_state}, x, group=group,
-                train=False,
-            )
+            with _precision_scope(compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x, group=group,
+                    train=False,
+                )
             logit = select_tower(out, group) if multi_tower else out
             return c, jax.nn.sigmoid(logit)
 
@@ -194,17 +199,18 @@ def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int):
     return eval_scan
 
 
-def make_eval_step(model, multi_tower: bool):
+def make_eval_step(model, multi_tower: bool, compute_dtype: str = "float32"):
     """Jitted eval: probabilities per row (group tower selected)."""
 
     @jax.jit
     def eval_step(params, model_state, batch):
-        out = model.apply(
-            {"params": params, **model_state},
-            batch["x"],
-            group=batch.get("group"),
-            train=False,
-        )
+        with _precision_scope(compute_dtype):
+            out = model.apply(
+                {"params": params, **model_state},
+                batch["x"],
+                group=batch.get("group"),
+                train=False,
+            )
         logit = select_tower(out, batch["group"]) if multi_tower else out
         return jax.nn.sigmoid(logit)
 
