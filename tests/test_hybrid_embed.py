@@ -168,3 +168,29 @@ def test_bf16_moments_mode():
         np.array(st.params["embedding"]["table"]),
         np.array(st_f32.params["embedding"]["table"]), atol=5e-4)
     assert float(loss_b) == pytest.approx(float(loss_f), rel=1e-3)
+
+
+def test_mixed_table_lookup_bit_identical_to_take():
+    import jax.numpy as jnp
+    import numpy as np
+    from tpurec.nn.core import EmbeddingLayout, mixed_table_lookup
+
+    field_dims = (50000, 10, 7, 9000, 12, 300)   # mix of small/big vocabs
+    layout = EmbeddingLayout(field_dims)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(layout.vocab, 8)).astype(np.float32))
+    x = np.stack([rng.integers(0, d, 64) for d in field_dims], 1).astype(np.int32)
+    ref = jnp.take(table, jnp.asarray(x) + jnp.asarray(layout.offsets)[None, :],
+                   axis=0)
+    got = mixed_table_lookup(table, jnp.asarray(x), layout)
+    assert got.shape == ref.shape
+    assert bool(jnp.all(got == ref))
+
+    # all-small and all-big degenerate layouts fall back to one take
+    for dims in ((10, 12, 7), (50000, 90000)):
+        lay = EmbeddingLayout(dims)
+        t = jnp.asarray(rng.normal(size=(lay.vocab, 4)).astype(np.float32))
+        xx = np.stack([rng.integers(0, d, 32) for d in dims], 1).astype(np.int32)
+        r = jnp.take(t, jnp.asarray(xx) + jnp.asarray(lay.offsets)[None, :], axis=0)
+    # (value check inside loop)
+        assert bool(jnp.all(mixed_table_lookup(t, jnp.asarray(xx), lay) == r))

@@ -258,6 +258,34 @@ class EmbeddingLayout:
         self.vocab = -(-pos // row_pad) * row_pad  # padded rows
 
 
+def mixed_table_lookup(table, ids, layout: "EmbeddingLayout"):
+    """ids [B, F] (field-local) -> rows [B, F, D].
+
+    Splits the lookup by the layout's small/big field partition: small
+    fields gather from the contiguous [0, small_rows) PREFIX slice of the
+    table (a ~9k-row operand the hardware gathers ~3.4x faster than the
+    full multi-million-row table — measured 4.0 vs 13.8 ms for 588k rows
+    on v5e), big fields gather from the full table.  Values are the same
+    table rows either way, so the result is bit-identical to one big
+    take; the field axis is restored with a static permutation.
+    """
+    ids = ids.astype(jnp.int32)
+    sf, bf = layout.small_fields, layout.big_fields
+    if not sf or not bf:
+        idx = ids + jnp.asarray(layout.offsets)[None, :]
+        return jnp.take(table, idx, axis=0)
+    offs = layout.offsets
+    small_idx = ids[:, list(sf)] + jnp.asarray(offs[list(sf)])[None, :]
+    big_idx = ids[:, list(bf)] + jnp.asarray(offs[list(bf)])[None, :]
+    prefix = jax.lax.slice_in_dim(table, 0, layout.small_rows, axis=0)
+    rows_small = jnp.take(prefix, small_idx, axis=0)   # [B, Fs, D]
+    rows_big = jnp.take(table, big_idx, axis=0)        # [B, Fb, D]
+    both = jnp.concatenate([rows_small, rows_big], axis=1)
+    # inverse permutation: position of field f inside (sf + bf)
+    inv = np.argsort(np.asarray(sf + bf))
+    return jnp.take(both, jnp.asarray(inv), axis=1)
+
+
 class FusedEmbedding(nn.Module):
     """One fused embedding table over all categorical fields (layer.py:129-157).
 
@@ -291,8 +319,7 @@ class FusedEmbedding(nn.Module):
 
     def __call__(self, ids, flatten: bool = False):
         """ids: int [B, F] -> [B, F, D] (or [B, F*D] if flatten)."""
-        idx = ids.astype(jnp.int32) + self.offsets[None, :]
-        emb = jnp.take(self.table, idx, axis=0)
+        emb = mixed_table_lookup(self.table, ids, self.layout)
         if flatten:
             emb = emb.reshape(emb.shape[0], -1)
         return emb

@@ -95,9 +95,15 @@ class EmbeddingUpdater:
         self.coef = 2.0 * l2_reg_embedding + tcfg.wd
 
     def gather_rows(self, table, x):
-        """x [B, F] int -> gathered table rows [B*F, D]."""
-        flat_ids = (x.astype(jnp.int32) + self.offsets[None, :]).reshape(-1)
-        return jnp.take(table, flat_ids, axis=0)
+        """x [B, F] int -> gathered table rows [B*F, D].
+
+        Called OUTSIDE the loss gradient (grads are taken w.r.t. the
+        returned rows), so the small-prefix/big split inside
+        mixed_table_lookup is purely a forward-speed choice."""
+        from tpurec.nn.core import mixed_table_lookup
+
+        rows = mixed_table_lookup(table, x.astype(jnp.int32), self.layout)
+        return rows.reshape(-1, table.shape[1])
 
     def update(self, table, emb_opt: SparseEmbedState, x, g_rows, step):
         layout, field_dims = self.layout, self.field_dims

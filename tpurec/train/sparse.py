@@ -132,7 +132,11 @@ def make_sparse_train_step(
         opt_rest, emb_opt = ts.opt_state
 
         flat_ids = (batch["x"].astype(jnp.int32) + offsets[None, :]).reshape(-1)
-        rows = jnp.take(table, flat_ids, axis=0)
+        from tpurec.nn.core import mixed_table_lookup
+
+        rows = mixed_table_lookup(
+            table, batch["x"].astype(jnp.int32), layout
+        ).reshape(-1, table.shape[1])
 
         (loss, new_state), (g_rest, g_rows) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
