@@ -153,3 +153,27 @@ def test_cdc_auc_metric_mode(data):
     assert np.all((st.old_matrix_mask >= 0) & (st.old_matrix_mask <= 1))
     labels = st.domain2group_list
     assert len(labels) == data.n_domain and set(labels) <= {0, 1}
+
+
+def test_warm_compile_cache_invalidated_on_new_dataset(data):
+    """The AOT populate executables bake in the DATASET shapes; a second
+    setup_data with different-size arrays must not reuse them (regression:
+    jax raises 'Argument types differ' otherwise)."""
+    cfg = _cfg("mmoe")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.setup_data(data.train, data.valid)
+    tr.warm_compile(cfg.cdc.update_matrix_step)
+    tr.update_matrix_cdc(cfg.cdc.update_matrix_step)
+    execs_a = dict(getattr(tr, "_populate_exec", {}))
+    assert execs_a  # warm path actually used
+
+    # repeated warm_compile with the SAME dataset must not resubmit
+    tr.warm_compile(cfg.cdc.update_matrix_step)
+    assert not tr._warm_futures
+
+    data2 = make_synthetic(n_rows=5000, n_fields=6, n_domain=6,
+                           domain_idx=3, seed=4)
+    tr.setup_data(data2.train, data2.valid)
+    tr.warm_compile(cfg.cdc.update_matrix_step)
+    tr.update_matrix_cdc(cfg.cdc.update_matrix_step)  # must not crash
+    assert tr._populate_data_sig[0] == tr.Xdev.shape

@@ -593,8 +593,14 @@ class CDCTrainer:
         shardings); the jitted path remains the fallback."""
         if self.mesh is not None:
             return
-        if not hasattr(self, "_populate_exec"):
+        # the compiled signature bakes in the DATASET shapes too: a new
+        # setup_data with different-size arrays invalidates the cache
+        data_sig = (self.Xdev.shape, self.ydev.shape)
+        if getattr(self, "_populate_data_sig", None) != data_sig:
             self._populate_exec = {}
+            self._warm_inflight = set()
+            self._warm_futures = []      # orphan any stale builds
+            self._populate_data_sig = data_sig
         k = update_matrix_step
         bs, D = self.cfg.train.bs, self.n_domain
         K_max = self._burst_k_max(k)
@@ -604,7 +610,9 @@ class CDCTrainer:
             (D, k, bs),
             (D + self.n_cluster, K_max, W),
         }
-        shapes = [s for s in shapes if s not in self._populate_exec]
+        shapes = [s for s in shapes
+                  if s not in self._populate_exec
+                  and s not in self._warm_inflight]
         if not shapes:
             return
 
@@ -614,9 +622,9 @@ class CDCTrainer:
             return shape, self._populate_rows.lower(
                 *self._populate_avals(*shape)).compile()
 
-        self._warm_futures = []
         ex = concurrent.futures.ThreadPoolExecutor(max_workers=len(shapes))
         for s in shapes:
+            self._warm_inflight.add(s)
             self._warm_futures.append(ex.submit(build, s))
         ex.shutdown(wait=False)
 
@@ -625,9 +633,16 @@ class CDCTrainer:
             try:
                 shape, exe = f.result()
                 self._populate_exec[shape] = exe
-            except Exception:
-                pass  # jitted fallback
+                self._warm_inflight.discard(shape)
+            except Exception as e:  # jitted fallback, but say why
+                import warnings
+
+                warnings.warn(
+                    f"CDC warm_compile failed ({e!r}); falling back to the "
+                    "jitted populate path (first matrix update will stall "
+                    "on serial compiles)")
         self._warm_futures = []
+        self._warm_inflight = set()
 
     def _run_populate(self, bidx, bmask, bvalid, eidx, emask):
         R = bidx.shape[0]

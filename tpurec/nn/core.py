@@ -305,7 +305,6 @@ class FusedEmbedding(nn.Module):
         self.layout = layout
         self.vocab_size = layout.vocab
         self.field_num = len(self.field_dims)
-        self.offsets = jnp.asarray(layout.offsets)
 
         def init_with_zero_pad(key, shape):
             w = tinit.embedding_init(key, shape)

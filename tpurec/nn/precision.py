@@ -9,12 +9,16 @@ BatchNorm statistics, softmax, and all elementwise math stay float32, so
 rounding is confined to the matmul inputs — the standard conservative
 mixed-precision recipe.
 
-The policy is a trace-time global: builders (tpurec.train.*, tpurec.cdc)
-``set_compute_dtype(cfg.train.compute_dtype)`` BEFORE tracing their jitted
-steps, and the cast is baked into the compiled program.  It deliberately
-is not a flax module attribute — threading a dtype through every one of
-the zoo's ~60 Linear construction sites buys nothing over one policy
-lookup at trace time.
+The policy is a trace-time ContextVar: builders (tpurec.train.*,
+tpurec.cdc) wrap their ``model.apply`` calls in
+``compute_dtype(cfg.train.compute_dtype)`` so the cast is baked into each
+compiled program at trace time.  A ContextVar (not a module global) keeps
+concurrent traces independent — CDCTrainer.warm_compile lowers programs
+on background threads while the main thread traces the warmup step, and
+each thread/context sees only its own scope.  It deliberately is not a
+flax module attribute — threading a dtype through every one of the zoo's
+~60 Linear construction sites buys nothing over one policy lookup at
+trace time.
 
 This is opt-in (TrainConfig.compute_dtype, default 'float32' = off) and a
 DOCUMENTED DIVERGENCE from the reference's all-f32 torch math when on.
@@ -23,11 +27,13 @@ DOCUMENTED DIVERGENCE from the reference's all-f32 torch math when on.
 from __future__ import annotations
 
 import contextlib
+import contextvars
 from typing import Optional
 
 import jax.numpy as jnp
 
-_COMPUTE_DTYPE: Optional[jnp.dtype] = None
+_COMPUTE_DTYPE: contextvars.ContextVar[Optional[jnp.dtype]] = \
+    contextvars.ContextVar("tpurec_compute_dtype", default=None)
 
 _ALIASES = {
     None: None,
@@ -39,34 +45,32 @@ _ALIASES = {
 }
 
 
-def set_compute_dtype(dtype) -> None:
-    """Set the global matmul-operand dtype ('float32'/'bfloat16'/None).
-
-    Must be called before tracing; already-compiled functions keep the
-    policy they were traced under.
-    """
-    global _COMPUTE_DTYPE
+def _resolve(dtype):
     if isinstance(dtype, str) or dtype is None:
         if dtype not in _ALIASES:
             raise ValueError(f"unsupported compute_dtype {dtype!r}")
-        _COMPUTE_DTYPE = _ALIASES[dtype]
-    else:
-        _COMPUTE_DTYPE = jnp.dtype(dtype)
+        return _ALIASES[dtype]
+    return jnp.dtype(dtype)
+
+
+def set_compute_dtype(dtype) -> None:
+    """Set the matmul-operand dtype ('float32'/'bfloat16'/None) for the
+    CURRENT context/thread.  Must be active while tracing; compiled
+    functions keep the policy they were traced under."""
+    _COMPUTE_DTYPE.set(_resolve(dtype))
 
 
 def get_compute_dtype():
-    return _COMPUTE_DTYPE
+    return _COMPUTE_DTYPE.get()
 
 
 @contextlib.contextmanager
 def compute_dtype(dtype):
-    global _COMPUTE_DTYPE
-    prev = _COMPUTE_DTYPE
+    tok = _COMPUTE_DTYPE.set(_resolve(dtype))
     try:
-        set_compute_dtype(dtype)
         yield
     finally:
-        _COMPUTE_DTYPE = prev
+        _COMPUTE_DTYPE.reset(tok)
 
 
 def cast_operands(*xs):
@@ -77,7 +81,7 @@ def cast_operands(*xs):
     values is exact in f32, so with f32 accumulation this computes the
     same function the TPU MXU does.
     """
-    dt = _COMPUTE_DTYPE
+    dt = _COMPUTE_DTYPE.get()
     if dt is None:
         return xs if len(xs) > 1 else xs[0]
     import jax

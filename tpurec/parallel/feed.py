@@ -55,6 +55,56 @@ class GlobalBatchFeed:
         if data_axis not in mesh.axis_names:
             raise ValueError(f"mesh has no {data_axis!r} axis: {mesh.axis_names}")
         self.n_data = mesh.shape[data_axis]
+        self._validate_process_layout()
+
+    def _validate_process_layout(self):
+        """Require every data-axis block to be owned by exactly ONE
+        process.  If the model axis spans processes, replica devices of
+        the same data rows live on different hosts and each host would
+        feed them different dataset shards — silently wrong gradients.
+        The supported layout is the standard one: model axis within a
+        host, data axis across hosts (reorder the mesh axes otherwise).
+        """
+        if jax.process_count() == 1:
+            return
+        sh = self.row_sharding(1)
+        owner = {}
+        for d, idx in sh.devices_indices_map((self.n_data,)).items():
+            blk = (idx[0].start, idx[0].stop)
+            if owner.setdefault(blk, d.process_index) != d.process_index:
+                raise ValueError(
+                    "model axis spans processes: data block "
+                    f"{blk} has replica devices on processes "
+                    f"{owner[blk]} and {d.process_index}; GlobalBatchFeed "
+                    "requires each data block on one process — put the "
+                    "model axis within a host (e.g. reorder mesh axes)")
+
+    def dataset_range(self, n_rows: int) -> Tuple[int, int]:
+        """[start, end) dataset rows THIS process should load, derived
+        from the data blocks its devices actually own (consistent with
+        local_rows_per_step, unlike a blind even split when block
+        ownership is non-uniform)."""
+        sh = self.row_sharding(1)
+        pi = jax.process_index()
+        blocks = sorted(
+            {(idx[0].start if idx[0].start is not None else 0,
+              idx[0].stop if idx[0].stop is not None else self.n_data)
+             for d, idx in sh.devices_indices_map((self.n_data,)).items()
+             if d.process_index == pi})
+        if not blocks:
+            return 0, 0
+        lo = blocks[0][0]
+        hi = blocks[-1][1]
+        if [b for b in blocks] != [(lo + i, lo + i + 1)
+                                   for i in range(hi - lo)]:
+            raise ValueError(
+                f"process {pi}'s data blocks {blocks} are not contiguous; "
+                "load per-block shards manually")
+        # map block range -> row range (same proportional split as the
+        # sharding applies to a [n_rows] array)
+        start = lo * n_rows // self.n_data
+        end = hi * n_rows // self.n_data
+        return start, end
 
     def row_sharding(self, ndim: int) -> NamedSharding:
         return NamedSharding(

@@ -46,7 +46,7 @@ import numpy as np
 import optax
 
 from tpurec.config import TrainConfig
-from tpurec.nn.core import EmbeddingLayout
+from tpurec.nn.core import EmbeddingLayout, mixed_table_lookup
 from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.reg import regularization_loss
 from tpurec.train.sparse import SparseEmbedState, combine_duplicate_rows
@@ -100,8 +100,6 @@ class EmbeddingUpdater:
         Called OUTSIDE the loss gradient (grads are taken w.r.t. the
         returned rows), so the small-prefix/big split inside
         mixed_table_lookup is purely a forward-speed choice."""
-        from tpurec.nn.core import mixed_table_lookup
-
         rows = mixed_table_lookup(table, x.astype(jnp.int32), self.layout)
         return rows.reshape(-1, table.shape[1])
 

@@ -373,10 +373,20 @@ class Trainer:
         }
 
         def local_stream():
+            # NOTE on the epoch loss: every one of the nb steps carries at
+            # least one real row GLOBALLY (nb = ceil(n_global/bs) and real
+            # rows precede filler in every process's stream), and the
+            # per-step loss is the mask-weighted mean over the GLOBAL
+            # batch — identical on every process.  Averaging the nb
+            # per-step means matches the host path's per-batch averaging.
             produced = 0
             if batcher is not None:
                 for b in batcher:
-                    if produced == nb:  # can't happen (epoch_plan bound)
+                    if produced == nb:
+                        # only reachable when this process's shard exceeds
+                        # its data-axis share (see feed.dataset_range);
+                        # the surplus rows wait for the next epoch's
+                        # reshuffle rather than deadlocking the collective
                         break
                     produced += 1
                     yield b

@@ -39,6 +39,7 @@ import numpy as np
 import optax
 
 from tpurec.config import TrainConfig
+from tpurec.nn.core import EmbeddingLayout, mixed_table_lookup
 from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.reg import regularization_loss
 from tpurec.train.step import TrainState, bce_with_logits, make_optimizer, select_tower
@@ -98,8 +99,6 @@ def make_sparse_train_step(
     tx = optimizer if optimizer is not None else make_optimizer(tcfg)
     mutable_keys = tuple(mutable_keys)
     reg_coefs_rest = {k: v for k, v in reg_coefs.items() if k != "embedding"}
-    from tpurec.nn.core import EmbeddingLayout
-
     layout = EmbeddingLayout(model.field_dims)
     offsets = layout.offsets
     vocab = layout.vocab
@@ -132,8 +131,6 @@ def make_sparse_train_step(
         opt_rest, emb_opt = ts.opt_state
 
         flat_ids = (batch["x"].astype(jnp.int32) + offsets[None, :]).reshape(-1)
-        from tpurec.nn.core import mixed_table_lookup
-
         rows = mixed_table_lookup(
             table, batch["x"].astype(jnp.int32), layout
         ).reshape(-1, table.shape[1])
