@@ -1,0 +1,158 @@
+"""Serving path (tpurec.serve.Predictor): exactness vs the training-time
+eval forward, table quantization error bounds, chunk/pad handling, and
+checkpoint loading for both Trainer and CDCTrainer payloads."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpurec.config import CDCConfig, Config, ModelConfig, TrainConfig
+from tpurec.data import make_synthetic
+from tpurec.serve import Predictor, quantize_table
+from tpurec.train import Trainer
+from tpurec.train.step import select_tower
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic(n_rows=8000, n_fields=6, n_domain=4,
+                          domain_idx=3, seed=11)
+
+
+def _cfg(model="mmoe"):
+    return Config(
+        model=ModelConfig(
+            model=model, embed_dim=8, mmoe_expert_dims=(32, 16),
+            mmoe_tower_dims=(16,), mlp_dims=(32, 16),
+            atten_embed_dim=8, att_layer_num=1,
+        ),
+        train=TrainConfig(bs=256, epoch=1, seed=0),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(data):
+    cfg = _cfg("mmoe")
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    tr.fit(data.train, data.valid,
+           domain_cnt_weight=data.domain_cnt_weight())
+    return cfg, tr
+
+
+def _oracle_probs(tr, X, domain2group):
+    """Reference forward through the full-precision training model."""
+    group = jnp.asarray(domain2group)[jnp.asarray(X[:, 3])]
+    out = tr.model.apply(
+        {"params": tr.state.params, **tr.state.model_state},
+        jnp.asarray(X), group=group, train=False,
+    )
+    logit = select_tower(out, group) if tr.multi_tower else out
+    return np.asarray(jax.nn.sigmoid(logit))
+
+
+def test_quantize_table_roundtrip_bounds(rng):
+    t = rng.normal(size=(64, 8)).astype(np.float32)
+    t[5] = 0.0  # all-zero row must stay exact
+    q, s = quantize_table(t, "int8")
+    assert q.dtype == np.int8 and s.shape == (64,)
+    deq = q.astype(np.float32) * s[:, None]
+    # symmetric rounding error bound: half a quantization step per element
+    assert np.all(np.abs(deq - t) <= s[:, None] / 2 + 1e-7)
+    assert np.all(deq[5] == 0.0)
+
+    qb, sb = quantize_table(t, "bfloat16")
+    assert sb is None and qb.dtype == jnp.bfloat16
+    assert np.max(np.abs(qb.astype(np.float32) - t)) <= 0.01 * np.abs(t).max()
+
+
+def test_predictor_f32_matches_training_forward(data, trained):
+    cfg, tr = trained
+    X = data.valid[0][:600]
+    pred = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain),
+                     batch_sizes=(256,)).load_from_trainer(tr).warm()
+    probs = pred(X)
+    oracle = _oracle_probs(tr, X, np.arange(data.n_domain))
+    # same math (f32 lookup + identical apply): tight tolerance; the tail
+    # chunk (600 = 2*256 + 88) exercises the pad-and-slice path
+    np.testing.assert_allclose(probs, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_int8_close_and_smaller(data, trained):
+    cfg, tr = trained
+    X, y = data.valid[0][:2000], data.valid[1][:2000]
+    f32 = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                    domain2group=np.arange(data.n_domain),
+                    batch_sizes=(512,)).load_from_trainer(tr)
+    q8 = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                   domain2group=np.arange(data.n_domain),
+                   batch_sizes=(512,), table_dtype="int8"
+                   ).load_from_trainer(tr)
+    p32, p8 = f32(X), q8(X)
+    assert np.max(np.abs(p32 - p8)) < 0.05
+    from tpurec.metrics import auc_score
+
+    assert abs(auc_score(y, p8) - auc_score(y, p32)) < 0.01
+    qb, fb = q8.table_bytes()
+    # int8 rows are fb/4; [V] f32 scales add fb/D
+    D = cfg.model.embed_dim
+    assert qb == fb // 4 + fb // D
+
+
+def test_predictor_checkpoint_roundtrip(tmp_path, data, trained):
+    cfg, tr = trained
+    path = str(tmp_path / "ckpt.pkl")
+    tr.save_checkpoint(path)
+    X = data.valid[0][:300]
+    via_ckpt = Predictor(cfg, data.field_dims, data.n_domain,
+                         data.domain_idx,
+                         domain2group=np.arange(data.n_domain),
+                         batch_sizes=(512,)).load_checkpoint(path)
+    via_live = Predictor(cfg, data.field_dims, data.n_domain,
+                         data.domain_idx,
+                         domain2group=np.arange(data.n_domain),
+                         batch_sizes=(512,)).load_from_trainer(tr)
+    np.testing.assert_allclose(via_ckpt(X), via_live(X), rtol=1e-6)
+
+
+def test_predictor_serves_cdc_checkpoint(tmp_path):
+    from tpurec.cdc import CDCTrainer
+
+    data = make_synthetic(n_rows=6000, n_fields=6, n_domain=6,
+                          domain_idx=3, seed=3)
+    cfg = Config(
+        model=ModelConfig(
+            model="cdc", embed_dim=8, mlp_dims=(32, 16),
+            mmoe_n_expert=2, tower_dims=(16, 8),
+            atten_embed_dim=8, att_layer_num=1, gate_hidden_dim=8,
+        ),
+        cdc=CDCConfig(base_model="mmoe", n_cluster=2, n_causal_mask=4,
+                      warmup_step=5, update_matrix_step=1,
+                      update_interval=40, cdc_tower_dims=(16, 8)),
+        train=TrainConfig(bs=128, epoch=1, seed=0),
+    )
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.fit(data.train, data.valid)
+    path = str(tmp_path / "cdc.pkl")
+    tr.save_checkpoint(path)
+
+    pred = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     batch_sizes=(256,)).load_checkpoint(path)
+    # routing table == persisted clustering (run.py:455-457 parity)
+    np.testing.assert_array_equal(
+        pred.domain2group, np.asarray(tr.cluster.domain2group_list))
+    X = data.valid[0][:500]
+    probs = pred(X)
+    assert probs.shape == (X.shape[0],)
+    assert np.all((probs > 0) & (probs < 1))
+    # oracle: the engine's own model with the persisted grouping
+    group = jnp.asarray(pred.domain2group)[jnp.asarray(X[:, 3])]
+    out = tr.model.apply(
+        {"params": tr.state.params, **tr.state.model_state},
+        jnp.asarray(X), group=group, train=False,
+    )
+    oracle = np.asarray(jax.nn.sigmoid(select_tower(out, group)))
+    np.testing.assert_allclose(probs, oracle, rtol=1e-5, atol=1e-6)
