@@ -207,7 +207,7 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__" and not __import__("os").environ.get("SCANNED") and not __import__("os").environ.get("REMAT"):
+if __name__ == "__main__" and not any(__import__("os").environ.get(v) for v in ("SCANNED", "REMAT", "DROPBITS")):
     main()
 
 
@@ -464,3 +464,110 @@ def main_remat():
 
 if __name__ == "__main__" and __import__("os").environ.get("REMAT"):
     main_remat()
+
+
+def main_dropbits():
+    """Experiment set 3: cheaper dropout-mask generation.  bernoulli
+    draws uint32 per element and compares in f32; random.bits(uint8)
+    quarters the generated bytes and compares in int8.  Combined with
+    the head-merged dots from set 1."""
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    import jax.numpy as jnp
+    import math
+
+    K = 16
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, F, A)).astype(np.float32))
+    params = []
+    for _ in range(L):
+        params.append((
+            jnp.asarray(rng.normal(size=(A, 3 * A)).astype(np.float32) * 0.05),
+            jnp.zeros((3 * A,), jnp.float32),
+            jnp.asarray(rng.normal(size=(A, A)).astype(np.float32) * 0.05),
+            jnp.zeros((A,), jnp.float32),
+        ))
+
+    def drop_bern(a, key, rate):
+        keep = jax.random.bernoulli(key, 1.0 - rate, a.shape)
+        return jnp.where(keep, a / (1.0 - rate), 0.0)
+
+    def drop_bits8(a, key, rate):
+        # keep iff u8 < round(keep_prob*256); keep_prob error < 0.2%
+        thresh = jnp.uint8(min(255, round((1.0 - rate) * 256)))
+        bits = jax.random.bits(key, a.shape, jnp.uint8)
+        return jnp.where(bits < thresh, a / (1.0 - rate), 0.0)
+
+    def mk_layer(score_form, dropout):
+        def layer(p, x, key, rate):
+            w_in, b_in, w_out, b_out = p
+            qkv = jnp.einsum("bfa,ac->bfc", x, w_in,
+                             preferred_element_type=jnp.float32) + b_in
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if score_form == "einsum":
+                q4 = q.reshape(B, F, H, hd)
+                k4 = k.reshape(B, F, H, hd)
+                v4 = v.reshape(B, F, H, hd)
+                s = jnp.einsum("bfhd,bghd->bhfg", q4, k4,
+                               preferred_element_type=jnp.float32) / math.sqrt(hd)
+                a = dropout(jax.nn.softmax(s, axis=-1), key, 0.2)
+                o = jnp.einsum("bhfg,bghd->bfhd", a, v4,
+                               preferred_element_type=jnp.float32).reshape(B, F, A)
+            else:  # merged_bh
+                def split(t):
+                    return t.reshape(B, F, H, hd).transpose(0, 2, 1, 3) \
+                            .reshape(B * H, F, hd)
+                q3, k3, v3 = split(q), split(k), split(v)
+                s = jax.lax.dot_general(
+                    q3, k3, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) / math.sqrt(hd)
+                a = dropout(jax.nn.softmax(s, axis=-1), key, 0.2)
+                o = jax.lax.dot_general(
+                    a, v3, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                o = o.reshape(B, H, F, hd).transpose(0, 2, 1, 3).reshape(B, F, A)
+            return jnp.einsum("bfa,ao->bfo", o, w_out,
+                              preferred_element_type=jnp.float32) + b_out
+        return layer
+
+    def mk(layer):
+        def step(carry, key):
+            h = carry
+
+            def loss(params, x, key):
+                hh = x
+                for i in range(L):
+                    key, sub = jax.random.split(key)
+                    hh = layer(params[i], hh, sub, 0.2)
+                return jnp.sum(jax.nn.relu(hh) ** 2)
+
+            val, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(params, h, key)
+            return h + 1e-12 * gx, val
+
+        @jax.jit
+        def run(x, keys):
+            return jax.lax.scan(step, x, keys)
+
+        return run
+
+    variants = {
+        "einsum+bern": mk(mk_layer("einsum", drop_bern)),
+        "einsum+bits8": mk(mk_layer("einsum", drop_bits8)),
+        "mbh+bern": mk(mk_layer("mbh", drop_bern)),
+        "mbh+bits8": mk(mk_layer("mbh", drop_bits8)),
+    }
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    for name, f in variants.items():
+        _, vals = f(x0, keys)
+        np.asarray(vals)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            _, vals = f(x0, keys)
+        np.asarray(vals)
+        dt = (time.perf_counter() - t0) / (8 * K)
+        print(f"{name:14s}: {dt*1e3:7.3f} ms/step fwd+bwd (scanned)", flush=True)
+
+
+if __name__ == "__main__" and __import__("os").environ.get("DROPBITS"):
+    main_dropbits()
