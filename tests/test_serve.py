@@ -156,3 +156,33 @@ def test_predictor_serves_cdc_checkpoint(tmp_path):
     )
     oracle = np.asarray(jax.nn.sigmoid(select_tower(out, group)))
     np.testing.assert_allclose(probs, oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_self_describing_checkpoint_and_cli(tmp_path, data, trained):
+    """Checkpoints embed config + schema; serving needs only the file."""
+    from tpurec.config import config_from_dict, config_to_dict
+    from tpurec.serve import main as serve_main, predictor_from_checkpoint
+
+    cfg, tr = trained
+    # config dict round trip
+    cfg2 = config_from_dict(config_to_dict(cfg))
+    assert cfg2.model.model == cfg.model.model
+    assert cfg2.model.mmoe_expert_dims == cfg.model.mmoe_expert_dims
+    assert cfg2.train.bs == cfg.train.bs
+
+    path = str(tmp_path / "ckpt.pkl")
+    tr.save_checkpoint(path)
+    pred = predictor_from_checkpoint(path, batch_sizes=(256,))
+    np.testing.assert_array_equal(pred.domain2group,
+                                  np.arange(data.n_domain))
+    X = data.valid[0][:200]
+    oracle = _oracle_probs(tr, X, np.arange(data.n_domain))
+    np.testing.assert_allclose(pred(X), oracle, rtol=1e-5, atol=1e-6)
+
+    # CLI: npy in -> npy out
+    xin = str(tmp_path / "X.npy")
+    pout = str(tmp_path / "p.npy")
+    np.save(xin, X)
+    serve_main(["--ckpt", path, "--input", xin, "--output", pout,
+                "--bs", "256"])
+    np.testing.assert_allclose(np.load(pout), oracle, rtol=1e-5, atol=1e-6)

@@ -943,9 +943,17 @@ class CDCTrainer:
 
         from tpurec.train.checkpoint import EMBED_LAYOUT_VERSION
 
+        from tpurec.config import config_to_dict
+
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         payload = {
             "state": self.snapshot_bytes(),
+            # self-describing (see Trainer.save_checkpoint): serving needs
+            # nothing but this file
+            "config": config_to_dict(self.cfg),
+            "field_dims": list(self.model.field_dims),
+            "n_domain": int(self.n_domain),
+            "domain_idx": int(self.domain_idx),
             "domain2group_list": list(self.cluster.domain2group_list),
             "s_group2domain_list": [list(g) for g in self.cluster.s_group2domain_list],
             "t_group2domain_list": [list(g) for g in self.cluster.t_group2domain_list],

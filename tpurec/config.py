@@ -223,3 +223,36 @@ def default_config(**overrides) -> Config:
     if overrides:
         cfg = cfg.replace(**overrides)
     return cfg
+
+
+def config_to_dict(cfg: Config) -> Dict:
+    """Config -> plain nested dict (for checkpoint payloads)."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: Dict) -> Config:
+    """Inverse of :func:`config_to_dict`.
+
+    Unknown keys are ignored (forward compatibility: loading an old
+    checkpoint into a newer build with extra fields keeps defaults);
+    list values are re-tupled to match the frozen dataclass field types.
+    """
+    def build(cls, sub):
+        names = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for key, val in (sub or {}).items():
+            if key not in names:
+                continue
+            if isinstance(val, list):
+                val = tuple(tuple(v) if isinstance(v, list) else v
+                            for v in val)
+            kw[key] = val
+        return cls(**kw)
+
+    return Config(
+        model=build(ModelConfig, d.get("model")),
+        cdc=build(CDCConfig, d.get("cdc")),
+        train=build(TrainConfig, d.get("train")),
+        mesh=build(MeshConfig, d.get("mesh")),
+        data=build(DataConfig, d.get("data")),
+    )

@@ -259,3 +259,81 @@ class Predictor:
         if self._scales is not None:
             q += self._scales.size * 4
         return int(q), int(self._qtable.size * 4)
+
+
+def _load_payload(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def predictor_from_checkpoint(path: str,
+                              batch_sizes: Sequence[int] = (512,),
+                              table_dtype: str = "float32",
+                              cfg: Optional[Config] = None) -> Predictor:
+    """Build + load a Predictor from a SELF-DESCRIBING checkpoint.
+
+    Trainer/CDCTrainer checkpoints embed the full training config and the
+    dataset schema (field_dims/n_domain/domain_idx/grouping), so this
+    needs nothing but the file.  ``cfg`` overrides the embedded config
+    (e.g. for older checkpoints that predate the embedding).
+    """
+    payload = _load_payload(path)
+    if cfg is None:
+        if "config" not in payload:
+            raise ValueError(
+                f"{path} predates self-describing checkpoints; pass cfg=")
+        from tpurec.config import config_from_dict
+
+        cfg = config_from_dict(payload["config"])
+    field_dims = payload.get("field_dims")
+    if field_dims is None:
+        raise ValueError(f"{path} has no field_dims; re-save the checkpoint")
+    d2g = payload.get("domain2group_list", payload.get("domain2group"))
+    pred = Predictor(
+        cfg, field_dims, payload["n_domain"], payload["domain_idx"],
+        domain2group=None if d2g is None else np.asarray(d2g, np.int32),
+        batch_sizes=batch_sizes, table_dtype=table_dtype,
+    )
+    return pred.load_checkpoint(path)
+
+
+def main(argv=None):
+    """Score a table of categorical ids with a trained checkpoint.
+
+        python -m tpurec.serve --ckpt ckpt.pkl --input X.npy \
+            --output probs.npy --table_dtype int8 --bs 4096
+
+    ``--input``: .npy int array [N, F] (field-local ids, same schema as
+    training) or a headerless CSV of ints.  Output: .npy float32 [N]
+    probabilities (or CSV if --output ends in .csv).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="tpurec serving CLI")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--bs", type=int, default=4096)
+    p.add_argument("--table_dtype", default="float32",
+                   choices=list(_TABLE_DTYPES))
+    args = p.parse_args(argv)
+
+    if args.input.endswith(".npy"):
+        X = np.load(args.input)
+    else:
+        X = np.loadtxt(args.input, delimiter=",", dtype=np.int64)
+    X = np.atleast_2d(np.asarray(X, np.int64)).astype(np.int32)
+
+    pred = predictor_from_checkpoint(
+        args.ckpt, batch_sizes=(args.bs,), table_dtype=args.table_dtype)
+    probs = pred(X)
+    if args.output.endswith(".csv"):
+        np.savetxt(args.output, probs, fmt="%.6f")
+    else:
+        np.save(args.output, probs)
+    print(f"scored {len(probs)} rows -> {args.output} "
+          f"(mean prob {probs.mean():.4f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -480,10 +480,20 @@ class Trainer:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         from tpurec.train.checkpoint import EMBED_LAYOUT_VERSION
 
+        from tpurec.config import config_to_dict
+
         payload = {
             "state": self.snapshot(),
             "best_result": self.stopper.best_result,
             "config_model": self.cfg.model.model,
+            # self-describing checkpoint: full config + dataset schema, so
+            # serving (tpurec.serve.Predictor.from_checkpoint_file) needs
+            # nothing but this file
+            "config": config_to_dict(self.cfg),
+            "field_dims": list(self.model.field_dims),
+            "n_domain": int(self.n_domain),
+            "domain_idx": int(self.domain_idx),
+            "domain2group": [int(g) for g in self.domain2group],
             "extra": extra or {},
             "embed_layout": EMBED_LAYOUT_VERSION,
         }
