@@ -174,6 +174,8 @@ def test_warm_compile_cache_invalidated_on_new_dataset(data):
     data2 = make_synthetic(n_rows=5000, n_fields=6, n_domain=6,
                            domain_idx=3, seed=4)
     tr.setup_data(data2.train, data2.valid)
-    tr.warm_compile(cfg.cdc.update_matrix_step)
+    # NO warm_compile here: _run_populate itself must drop the stale
+    # executables (update_matrix_cdc is public and warm_compile optional)
     tr.update_matrix_cdc(cfg.cdc.update_matrix_step)  # must not crash
     assert tr._populate_data_sig[0] == tr.Xdev.shape
+    assert not tr._populate_exec  # stale AOT cache was dropped

@@ -129,3 +129,20 @@ def test_multihost_epoch_matches_host_epoch_single_process():
         batch)
     np.testing.assert_allclose(np.asarray(p_host), np.asarray(p_mh),
                                atol=5e-4)
+
+
+def test_dataset_range_single_process_covers_all():
+    """dataset_range derives the load range from actual block ownership;
+    with one process it must cover the whole dataset and agree with
+    process_shard's uniform split."""
+    feed = GlobalBatchFeed(make_mesh(4, 2), "data")
+    assert feed.dataset_range(1000) == (0, 1000)
+    assert feed.dataset_range(1000) == process_shard(1000, 0, 1)
+    # consistent with the per-step sharding: each data block owns an
+    # equal contiguous slice of any [n] array
+    sh = feed.row_sharding(1)
+    blocks = sorted(
+        {(idx[0].start or 0) for _, idx in
+         sh.devices_indices_map((feed.n_data,)).items()})
+    # model-axis replicas share each block; the distinct blocks tile [0, n_data)
+    assert blocks == list(range(feed.n_data))

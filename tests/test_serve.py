@@ -186,3 +186,31 @@ def test_self_describing_checkpoint_and_cli(tmp_path, data, trained):
     serve_main(["--ckpt", path, "--input", xin, "--output", pout,
                 "--bs", "256"])
     np.testing.assert_allclose(np.load(pout), oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_matches_bf16_compute_eval(data):
+    """A bf16-compute-trained model must serve the same math its
+    validation AUC was measured with (train/step.py eval_step's
+    precision scope)."""
+    from tpurec.train.step import make_eval_step
+
+    cfg = Config(
+        model=ModelConfig(model="mmoe", embed_dim=8,
+                          mmoe_expert_dims=(16,), mmoe_tower_dims=(8,),
+                          atten_embed_dim=8, att_layer_num=1),
+        train=TrainConfig(bs=256, epoch=1, seed=0,
+                          compute_dtype="bfloat16"),
+    )
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    X = data.valid[0][:256]
+    eval_step = make_eval_step(tr.model, tr.multi_tower,
+                               compute_dtype="bfloat16")
+    group = np.arange(data.n_domain, dtype=np.int32)[X[:, 3]]
+    oracle = np.asarray(eval_step(
+        tr.state.params, tr.state.model_state,
+        {"x": jnp.asarray(X), "group": jnp.asarray(group)}))
+    pred = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain),
+                     batch_sizes=(256,)).load_from_trainer(tr)
+    np.testing.assert_allclose(pred(X), oracle, rtol=1e-6, atol=1e-7)

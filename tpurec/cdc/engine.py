@@ -593,14 +593,7 @@ class CDCTrainer:
         shardings); the jitted path remains the fallback."""
         if self.mesh is not None:
             return
-        # the compiled signature bakes in the DATASET shapes too: a new
-        # setup_data with different-size arrays invalidates the cache
-        data_sig = (self.Xdev.shape, self.ydev.shape)
-        if getattr(self, "_populate_data_sig", None) != data_sig:
-            self._populate_exec = {}
-            self._warm_inflight = set()
-            self._warm_futures = []      # orphan any stale builds
-            self._populate_data_sig = data_sig
+        self._sync_populate_cache()
         k = update_matrix_step
         bs, D = self.cfg.train.bs, self.n_domain
         K_max = self._burst_k_max(k)
@@ -628,6 +621,20 @@ class CDCTrainer:
             self._warm_futures.append(ex.submit(build, s))
         ex.shutdown(wait=False)
 
+    def _sync_populate_cache(self):
+        """Drop AOT populate executables compiled against a DIFFERENT
+        dataset: their signatures bake in the Xdev/ydev shapes, so after a
+        setup_data with different-size arrays they would fail with
+        'Argument types differ'.  Called on every cache touch point
+        (warm_compile AND _run_populate — update_matrix_cdc may run
+        without a fresh warm_compile)."""
+        data_sig = (self.Xdev.shape, self.ydev.shape)
+        if getattr(self, "_populate_data_sig", None) != data_sig:
+            self._populate_exec = {}
+            self._warm_inflight = set()
+            self._warm_futures = []      # orphan any stale builds
+            self._populate_data_sig = data_sig
+
     def _collect_warm(self):
         for f in getattr(self, "_warm_futures", []):
             try:
@@ -648,9 +655,9 @@ class CDCTrainer:
         R = bidx.shape[0]
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         rngs = jax.random.split(rng, R)
+        self._sync_populate_cache()
         self._collect_warm()
-        fn = getattr(self, "_populate_exec", {}).get(
-            bidx.shape, self._populate_rows)
+        fn = self._populate_exec.get(bidx.shape, self._populate_rows)
         self.state, rows = fn(
             self.state, self.Xdev, self.ydev,
             jnp.asarray(bidx), jnp.asarray(bmask), jnp.asarray(bvalid), rngs,

@@ -41,6 +41,7 @@ import numpy as np
 from tpurec.config import Config
 from tpurec.models import MULTI_TOWER_OUTPUT, build_model
 from tpurec.nn.core import EmbeddingLayout, mixed_table_lookup
+from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.step import select_tower
 
 _TABLE_DTYPES = ("float32", "bfloat16", "int8")
@@ -151,31 +152,38 @@ class Predictor:
             jax.tree.map(np.asarray, st.model_state),
         )
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, payload: Optional[Dict] = None):
         """Load a Trainer or CDCTrainer ``save_checkpoint`` file.
 
-        CDC payloads carry their clustering (domain2group_list); it
-        replaces the routing table (run.py:455-457 parity).  State bytes
-        are deserialized through a throwaway trainer so the optimizer-
-        state template always matches the checkpoint's layout.
+        Both payload kinds persist the routing table (CDC its clustering,
+        run.py:455-457; Trainer its ``domain2group``) — when present it
+        REPLACES the constructor's grouping, so serving always routes the
+        way training did.  State bytes are msgpack-decoded directly
+        (flax.serialization.msgpack_restore): only params + model
+        collections are pulled out — no throwaway trainer, no optimizer
+        moments, no extra model-init compile.
         """
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
-        if "domain2group_list" in payload:   # CDCTrainer payload
-            from tpurec.cdc import CDCTrainer
+        import flax.serialization as fser
 
-            self.domain2group = np.asarray(
-                payload["domain2group_list"], np.int32)
-            tr = CDCTrainer(self.cfg, self.field_dims, self.n_domain,
-                            self.domain_idx)
-            tr.load_checkpoint(path)
-        else:
-            from tpurec.train.loop import Trainer
+        from tpurec.train.checkpoint import check_embed_layout_version
 
-            tr = Trainer(self.cfg, self.field_dims, self.n_domain,
-                         self.domain_idx, domain2group=self.domain2group)
-            tr.load_checkpoint(path)
-        return self.load_from_trainer(tr)
+        if payload is None:
+            payload = _load_payload(path)
+        check_embed_layout_version(payload.get("embed_layout"), path)
+        d2g = payload.get("domain2group_list", payload.get("domain2group"))
+        if d2g is not None:
+            d2g = np.asarray(d2g, np.int32)
+            n_tower = int(self.model.n_tower)
+            if d2g.size and int(d2g.max()) >= n_tower:
+                raise ValueError(
+                    f"checkpoint grouping routes to tower {int(d2g.max())} "
+                    f"but the model was built with n_tower={n_tower}; "
+                    "construct the Predictor with the matching "
+                    "domain2group/config")
+            self.domain2group = d2g
+        raw = fser.msgpack_restore(payload["state"])
+        model_state = raw.get("model_state") or {}
+        return self.load_variables(raw["params"], model_state)
 
     # -- compiled forward ----------------------------------------------
     def _build_fn(self, bs: int):
@@ -183,6 +191,7 @@ class Predictor:
         D = self.cfg.model.embed_dim
         multi_tower, domain_idx = self.multi_tower, self.domain_idx
         offsets = jnp.asarray(self.layout.offsets)
+        compute_dtype = self.cfg.train.compute_dtype
 
         @jax.jit
         def run(qtable, scales, rest, model_state, d2g, x):
@@ -192,11 +201,15 @@ class Predictor:
                 s = jnp.take(scales, x + offsets[None, :], axis=0)  # [B, F]
                 rows = rows * s[:, :, None]
             group = jnp.take(d2g, x[:, domain_idx], axis=0)
-            out = model.apply(
-                {"params": rest, **model_state},
-                x, group=group, train=False,
-                embed_rows=rows.reshape(-1, D),
-            )
+            # same precision policy as the training-time eval forward
+            # (train/step.py make_eval_step): a bf16-compute-trained model
+            # serves the math its validation AUC was measured with
+            with _precision_scope(compute_dtype):
+                out = model.apply(
+                    {"params": rest, **model_state},
+                    x, group=group, train=False,
+                    embed_rows=rows.reshape(-1, D),
+                )
             logit = select_tower(out, group) if multi_tower else out
             return jax.nn.sigmoid(logit)
 
@@ -294,7 +307,7 @@ def predictor_from_checkpoint(path: str,
         domain2group=None if d2g is None else np.asarray(d2g, np.int32),
         batch_sizes=batch_sizes, table_dtype=table_dtype,
     )
-    return pred.load_checkpoint(path)
+    return pred.load_checkpoint(path, payload=payload)
 
 
 def main(argv=None):

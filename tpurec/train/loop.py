@@ -336,9 +336,14 @@ class Trainer:
     def train_epoch_multihost(self, X_local: np.ndarray, y_local: np.ndarray,
                               n_global_rows: int, epoch_i: int,
                               log_fn=None) -> float:
-        """One epoch where each process feeds only ITS dataset shard
-        (tpurec.parallel.feed.process_shard) of a global (data, model)
-        mesh.  Every process runs the same n_batches collective steps
+        """One epoch where each process feeds only ITS dataset shard of a
+        global (data, model) mesh.  Load ``X_local`` with
+        ``GlobalBatchFeed(mesh).dataset_range(n_global_rows)`` — it derives
+        the range from the data blocks this process's devices actually own
+        (consistent with the per-step batch split even when block
+        ownership is non-uniform; the plain even split
+        ``feed.process_shard`` matches it only in the uniform case).
+        Every process runs the same n_batches collective steps
         (feed.epoch_plan); short local streams are padded with
         fully-masked filler batches — the global batch still carries the
         other hosts' real rows, and masked rows contribute nothing to the
