@@ -100,6 +100,44 @@ def test_embedding_table_row_sharded_across_model_axis():
     assert w.sharding.spec == P()
 
 
+def test_expert_parallel_matches_single_device():
+    """expert_parallel=True shards the MMoE expert bank's leading axis over
+    the model axis (default n_expert=4 divides n_model=2) without changing
+    the training math."""
+    state_s, batch_s, step_s = _setup()
+    losses_single = []
+    for i in range(3):
+        state_s, loss = step_s(state_s, batch_s, jax.random.PRNGKey(i))
+        losses_single.append(float(loss))
+
+    mesh = make_mesh(4, 2)
+    shardings = Shardings(mesh, expert_parallel=True)
+    state_m, batch_m, step_m = _setup(mesh, shardings)
+    from jax.sharding import PartitionSpec as P
+
+    w = state_m.params["experts"]["linear_0"]["weight"]  # [E, in, out]
+    assert w.sharding.spec[0] == "model"
+    assert w.addressable_shards[0].data.shape[0] == w.shape[0] // 2
+    # BN running stats [E, H] shard congruently; 1-D BN scale stays replicated
+    bn_mean = state_m.model_state["batch_stats"]["experts"]["bn_0"]["mean"]
+    assert bn_mean.sharding.spec[0] == "model"
+    bn_scale = state_m.params["experts"]["bn_0"]["scale"]
+    assert bn_scale.sharding.spec == P()
+
+    losses_mesh = []
+    with mesh:
+        for i in range(3):
+            state_m, loss = step_m(state_m, batch_m, jax.random.PRNGKey(i))
+            losses_mesh.append(float(loss))
+    np.testing.assert_allclose(losses_single, losses_mesh, rtol=2e-5)
+    # expert-bank optimizer moments shard with the params
+    mu = jax.tree_util.tree_leaves_with_path(state_m.opt_state)
+    expert_mu = [leaf for path, leaf in mu
+                 if any(getattr(k, "key", "") == "experts" for k in path)
+                 and getattr(leaf, "ndim", 0) == 3]
+    assert expert_mu and all(l.sharding.spec[0] == "model" for l in expert_mu)
+
+
 def test_batch_sharded_across_data_axis():
     mesh = make_mesh(8, 1)
     shardings = Shardings(mesh)

@@ -24,6 +24,7 @@ from tpurec.config import (
     Config,
     DataConfig,
     DOMAIN2GROUP_ORG_DICT,
+    MeshConfig,
     ModelConfig,
     TrainConfig,
 )
@@ -69,6 +70,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     # on a multi-device host; with 1 device no mesh is built.
     p.add_argument("--mesh_data", type=int, default=0)
     p.add_argument("--mesh_model", type=int, default=1)
+    # shard MoE expert banks (MMoE/PLE/HiNet) over the model axis too
+    p.add_argument("--mesh_expert_parallel", action="store_true")
     # performance knobs (TrainConfig)
     p.add_argument("--embedding_update", default="hybrid",
                    choices=["hybrid", "dense", "sparse"])
@@ -116,6 +119,10 @@ def build_config(args: argparse.Namespace) -> Config:
                 tuple(__import__("ast").literal_eval(args.domain_filter))
                 if args.domain_filter else None
             ),
+        ),
+        mesh=MeshConfig(
+            n_data=max(args.mesh_data, 1), n_model=max(args.mesh_model, 1),
+            expert_parallel=args.mesh_expert_parallel,
         ),
     )
 
@@ -224,7 +231,8 @@ def main(argv=None):
             from tpurec.parallel import Shardings, make_mesh
 
             mesh = make_mesh(n_data, n_model, devices=jax.devices()[:n_use])
-            shardings = Shardings(mesh)
+            shardings = Shardings(
+                mesh, expert_parallel=args.mesh_expert_parallel)
 
     if "cdc" in cfg.model.model:
         from tpurec.cdc import CDCTrainer

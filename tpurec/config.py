@@ -182,6 +182,9 @@ class MeshConfig:
     model_axis: str = "model"
     n_data: int = 1
     n_model: int = 1
+    # shard MoE expert banks' leading axis over the model axis
+    # (expert parallelism for MMoE/PLE/HiNet weight banks, SURVEY.md §2.7)
+    expert_parallel: bool = False
 
 
 # Static domain->group strategies (config.py:59-71).

@@ -47,16 +47,35 @@ def make_mesh(
 # param paths (joined with '/') that are row-sharded over the model axis
 _ROW_SHARDED_SUFFIXES = ("embedding/table",)
 
+# module names whose parameters are [E, ...] expert/tower banks (StackedMLP /
+# StackedLinear weight banks — the TPU-first form of the reference's
+# ModuleList loops, mmoe.py:56-58, ple.py:97-116, hinet.py:8-21).  With
+# ``expert_parallel=True`` these shard their leading expert axis over the
+# model mesh axis (expert parallelism for the MoE banks, SURVEY.md §2.7);
+# the gate-mixing einsum contracts the expert axis, so XLA inserts the
+# psum over ``model`` automatically.
+_EXPERT_BANK_NAMES = frozenset(
+    {"experts", "experts_specific", "experts_shared",
+     "specific_experts", "shared_experts"}
+)
+
 
 class Shardings:
-    """Sharding rules for params/opt-state/batches over a (data, model) mesh."""
+    """Sharding rules for params/opt-state/batches over a (data, model) mesh.
 
-    def __init__(self, mesh: Mesh, data_axis: str = "data", model_axis: str = "model"):
+    ``expert_parallel`` additionally shards the leading axis of MoE
+    expert-bank parameters (and their BN state / optimizer moments, which
+    share tree paths) over the model axis, when the bank size divides it.
+    """
+
+    def __init__(self, mesh: Mesh, data_axis: str = "data", model_axis: str = "model",
+                 expert_parallel: bool = False):
         self.mesh = mesh
         self.data_axis = data_axis
         self.model_axis = model_axis
+        self.expert_parallel = expert_parallel
 
-    def _spec_for_path(self, path: Tuple) -> P:
+    def _spec_for_path(self, path: Tuple, leaf=None) -> P:
         # DictKey has .key, GetAttrKey (flax struct fields) has .name
         keys = [getattr(k, "key", None) or getattr(k, "name", None) or str(k)
                 for k in path]
@@ -75,11 +94,21 @@ class Shardings:
         if keys and keys[-1] in ("m", "v") and any(
                 "opt_state" in k for k in keys):
             return P(self.model_axis, None)
+        if self.expert_parallel and any(k in _EXPERT_BANK_NAMES for k in keys):
+            n_model = self.mesh.shape[self.model_axis]
+            ndim = getattr(leaf, "ndim", 0)
+            shape = getattr(leaf, "shape", ())
+            # the bank axis is the leading one ([E, in, out] weights,
+            # [E, out] biases, [E, H] BN running stats); 1-D leaves (the
+            # per-feature BN scale/bias, shared across the bank) and banks
+            # whose size doesn't divide the model axis stay replicated.
+            if ndim >= 2 and shape[0] % n_model == 0:
+                return P(self.model_axis, *([None] * (ndim - 1)))
         return P()  # replicated
 
     def params_sharding(self, params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, leaf: NamedSharding(self.mesh, self._spec_for_path(path)),
+            lambda path, leaf: NamedSharding(self.mesh, self._spec_for_path(path, leaf)),
             params,
         )
 
@@ -89,7 +118,7 @@ class Shardings:
 
         def rule(path, leaf):
             if getattr(leaf, "ndim", 0) >= 2:
-                return NamedSharding(self.mesh, self._spec_for_path(path))
+                return NamedSharding(self.mesh, self._spec_for_path(path, leaf))
             return NamedSharding(self.mesh, P())
 
         return jax.tree_util.tree_map_with_path(rule, state)
