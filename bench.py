@@ -47,7 +47,30 @@ K = 16          # steps per scanned dispatch
 WARMUP, MEASURE = 2, 8
 
 
+def _watchdog(seconds: float = 1500.0):
+    """Fail fast instead of hanging forever if the remote-TPU relay is down.
+
+    Backend init / remote compiles on the axon backend block with no
+    timeout of their own; a daemon timer turns a wedged run into a visible
+    non-zero exit so the caller isn't left waiting on a dead tunnel.
+    Normal runs finish in well under this budget (~60-90s warm,
+    ~5 min with cold compiles)."""
+    import sys
+    import threading
+
+    def die():
+        print(f"bench.py watchdog: no result after {seconds:.0f}s "
+              "(remote-TPU tunnel likely down)", file=sys.stderr, flush=True)
+        os._exit(1)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog()
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")  # cheap dropout bits
@@ -111,6 +134,7 @@ def main():
     _ = np.asarray(losses)  # the chain through donated state forces all work
     dt = time.perf_counter() - t0
 
+    watchdog.cancel()
     eps = BS * K * MEASURE / dt
     prev = _previous_round_value()
     vs = eps / prev if prev else 1.0
