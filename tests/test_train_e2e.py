@@ -61,6 +61,33 @@ def test_multitower_learns_with_group_routing(data):
     assert out["valid"]["mean_auc"] > 0.55
 
 
+def test_streaming_eval_matches_exact(data):
+    """evaluate_streaming (on-device histograms, SURVEY §7 hard part 5)
+    matches the exact host-side eval: AUC within the O(1/n_bins) binning
+    error, LogLoss near-exactly, per-domain dicts with the same keys."""
+    cfg = _cfg("mmoe", epoch=1)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    tr.fit(data.train, data.valid, domain_cnt_weight=data.domain_cnt_weight())
+    Xv, yv = data.valid
+    w = data.domain_cnt_weight()
+    exact = tr.evaluate(Xv, yv, domain_cnt_weight=w)
+    stream = tr.evaluate_streaming(Xv, yv, domain_cnt_weight=w)
+    assert abs(stream["total_auc"] - exact["total_auc"]) < 2e-4
+    assert abs(stream["total_loss"] - exact["total_loss"]) < 1e-5
+    assert abs(stream["mean_auc"] - exact["mean_auc"]) < 5e-4
+    assert abs(stream["mean_loss"] - exact["mean_loss"]) < 1e-5
+    assert set(stream["domain_auc"]) == set(exact["domain_auc"])
+    for d in exact["domain_auc"]:
+        assert abs(stream["domain_auc"][d] - exact["domain_auc"][d]) < 1e-3
+        assert abs(stream["domain_loss"][d] - exact["domain_loss"][d]) < 1e-5
+    # a ragged final batch is mask-padded, not dropped
+    exact_odd = tr.evaluate(Xv[:1001], yv[:1001], domain_cnt_weight=w)
+    stream_odd = tr.evaluate_streaming(Xv[:1001], yv[:1001], domain_cnt_weight=w)
+    assert abs(stream_odd["total_auc"] - exact_odd["total_auc"]) < 1e-3
+    assert abs(stream_odd["total_loss"] - exact_odd["total_loss"]) < 1e-5
+
+
 def test_early_stop_and_checkpoint(tmp_path, data):
     cfg = _cfg("deepfm", epoch=1)
     tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)

@@ -79,6 +79,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["float32", "bfloat16"])
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    # on-device histogram eval (Trainer.evaluate_streaming) instead of
+    # gathering predictions to host
+    p.add_argument("--eval_streaming", action="store_true")
     args = p.parse_args(argv)
 
     if args.is_set_seed == 0:
@@ -109,6 +112,7 @@ def build_config(args: argparse.Namespace) -> Config:
             embedding_update=args.embedding_update,
             embedding_moments_dtype=args.embedding_moments_dtype,
             compute_dtype=args.compute_dtype,
+            eval_streaming=args.eval_streaming,
         ),
         data=DataConfig(
             dataset_name=args.dataset_name, data_path=args.data_path,

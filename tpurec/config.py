@@ -136,6 +136,10 @@ class TrainConfig:
     early_stop: int = 2                       # config.py:9
     seed: int = 2000                          # main.py:19
     is_evaluate_multi_domain: bool = True     # config.py:11
+    # eval via on-device per-domain AUC histograms instead of gathering
+    # every prediction to host (Trainer.evaluate_streaming; AUC error
+    # O(1/8192) — the scalable choice on a mesh / for huge eval splits)
+    eval_streaming: bool = False
     log_interval_rows: int = 204800           # run.py:474 (log every N rows)
     save_path: str = "save"
     # operand dtype of dense contractions ('float32' or 'bfloat16').

@@ -474,6 +474,78 @@ class Trainer:
             )
         return result
 
+    def evaluate_streaming(self, X: np.ndarray, y: np.ndarray,
+                           domain_cnt_weight: Optional[np.ndarray] = None,
+                           n_bins: int = 8192) -> Dict:
+        """Eval without hauling predictions to host (SURVEY.md §7 hard
+        part 5): per-(domain, bin) AUC histograms + per-domain loss sums
+        accumulate on device; the host fetches only
+        2x[n_domain, n_bins] + 2x[n_domain] at the end.
+
+        AUC error is O(1/n_bins) (<1e-4 at the default 8192 bins, bounded
+        vs the exact AUC in tests); LogLoss is exact up to f32 accumulation.
+        Same result keys as :meth:`evaluate`.  This is the eval to use on a
+        multi-chip mesh or when the prediction set is too large to gather.
+        """
+        from tpurec.metrics import streaming_auc_from_bins
+        from tpurec.train.step import make_streaming_eval_scan
+
+        bs = self.cfg.train.bs
+        cache = getattr(self, "_stream_eval_cache", None)
+        if cache is None:
+            cache = self._stream_eval_cache = {}
+        key = n_bins
+        if key not in cache:
+            cache[key] = make_streaming_eval_scan(
+                self.model, self.multi_tower, self.domain_idx,
+                self.n_domain, n_bins, self.cfg.train.compute_dtype)
+        scan_hist, init_carry = cache[key]
+
+        Xdev, ydev, d2g = self._device_dataset(X, y)
+        n = X.shape[0]
+        nb = -(-n // bs)
+        ch = min(self.EVAL_CHUNK, nb)
+        nb = -(-nb // ch) * ch
+        idx = np.zeros(nb * bs, dtype=np.int32)
+        idx[:n] = np.arange(n, dtype=np.int32)
+        mask = np.zeros(nb * bs, dtype=np.float32)
+        mask[:n] = 1.0
+        idx = idx.reshape(nb, bs)
+        mask = mask.reshape(nb, bs)
+        carry = init_carry()
+        for b0 in range(0, nb, ch):
+            carry = scan_hist(
+                self.state.params, self.state.model_state, Xdev, ydev, d2g,
+                (jnp.asarray(idx[b0:b0 + ch]), jnp.asarray(mask[b0:b0 + ch])),
+                *carry)
+        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+        pos = pos.reshape(self.n_domain, n_bins)
+        neg = neg.reshape(self.n_domain, n_bins)
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dom_auc = streaming_auc_from_bins(pos, neg)
+            dom_loss = lsum / lcnt
+        tot_pos, tot_neg = pos.sum(axis=0, keepdims=True), neg.sum(axis=0, keepdims=True)
+        result = {
+            "total_auc": float(streaming_auc_from_bins(tot_pos, tot_neg)[0]),
+            "total_loss": float(lsum.sum() / max(lcnt.sum(), 1.0)),
+        }
+        if self.cfg.train.is_evaluate_multi_domain and domain_cnt_weight is not None:
+            present = np.nonzero(lcnt > 0)[0]
+            domain_auc = {int(d): float(dom_auc[d]) for d in present}
+            domain_loss = {int(d): float(dom_loss[d]) for d in present}
+            # single-class domains contribute NaN to the weighted mean,
+            # matching evaluate_multi_domain's reference semantics
+            mean_auc = float(sum(
+                float(domain_cnt_weight[d]) * dom_auc[d] for d in present))
+            mean_loss = float(sum(
+                float(domain_cnt_weight[d]) * dom_loss[d] for d in present))
+            result.update({
+                "domain_auc": domain_auc, "domain_loss": domain_loss,
+                "mean_auc": mean_auc, "mean_loss": mean_loss,
+            })
+        return result
+
     # ------------------------------------------------------------------
     def snapshot(self) -> bytes:
         return flax.serialization.to_bytes(self.state)
@@ -547,10 +619,12 @@ class Trainer:
         if domain_cnt_weight is None:
             cnt = np.bincount(Xtr[:, self.domain_idx], minlength=self.n_domain)
             domain_cnt_weight = cnt / cnt.sum()
+        eval_fn = (self.evaluate_streaming if self.cfg.train.eval_streaming
+                   else self.evaluate)
         for epoch_i in range(self.cfg.train.epoch):
             t0 = time.time()
             train_loss = self.train_epoch(Xtr, ytr, epoch_i, log_fn=log_fn)
-            result = self.evaluate(Xva, yva, domain_cnt_weight)
+            result = eval_fn(Xva, yva, domain_cnt_weight)
             result["epoch"] = epoch_i
             result["train_loss"] = train_loss
             result["epoch_seconds"] = time.time() - t0
@@ -565,5 +639,5 @@ class Trainer:
             self.restore(self._best_bytes)
         out = {"valid": self.stopper.best_result}
         if test is not None:
-            out["test"] = self.evaluate(test[0], test[1], domain_cnt_weight)
+            out["test"] = eval_fn(test[0], test[1], domain_cnt_weight)
         return out

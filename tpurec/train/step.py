@@ -199,6 +199,68 @@ def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int,
     return eval_scan
 
 
+def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
+                             n_domain: int, n_bins: int = 8192,
+                             compute_dtype: str = "float32"):
+    """Device-resident eval that never hauls predictions to host
+    (SURVEY.md §7 hard part 5).
+
+    Accumulates per-(domain, score-bin) positive/negative histograms and
+    per-domain log-loss sums ON DEVICE across [K, bs] index batches; the
+    host only ever fetches [n_domain, n_bins] x 2 + [n_domain] x 2 at the
+    end of eval (streaming_auc_from_bins turns the histograms into AUC with
+    O(1/n_bins) error — the reference hauls every prediction to host and
+    runs sklearn, run.py:659-688).  Carries are donated so chunked eval
+    accumulates in place across dispatches.
+
+    f32 counts are exact up to 2^24 rows per (domain, bin); beyond that the
+    histogram saturates adds — far past any per-domain eval split here.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(6, 7, 8, 9))
+    def eval_scan_hist(params, model_state, Xdev, ydev, d2g, idx_mask,
+                       pos, neg, lsum, lcnt):
+        idxs, masks = idx_mask
+
+        def body(carry, xm):
+            pos, neg, lsum, lcnt = carry
+            idx, mask = xm
+            x = jnp.take(Xdev, idx, axis=0)
+            y = jnp.take(ydev, idx, axis=0).astype(jnp.float32)
+            dom = x[:, domain_idx].astype(jnp.int32)
+            group = jnp.take(d2g, dom, axis=0)
+            with _precision_scope(compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x, group=group,
+                    train=False,
+                )
+            logit = select_tower(out, group) if multi_tower else out
+            p = jax.nn.sigmoid(logit)
+            pc = jnp.clip(p, 0.0, 1.0 - 1e-7)
+            flat = dom * n_bins + (pc * n_bins).astype(jnp.int32)
+            pos = pos.at[flat].add(mask * y)
+            neg = neg.at[flat].add(mask * (1.0 - y))
+            # sklearn-style clipped BCE (metrics.log_loss_score)
+            pl = jnp.clip(p, 1e-15, 1.0 - 1e-15)
+            ll = -(y * jnp.log(pl) + (1.0 - y) * jnp.log(1.0 - pl))
+            lsum = lsum.at[dom].add(mask * ll)
+            lcnt = lcnt.at[dom].add(mask)
+            return (pos, neg, lsum, lcnt), None
+
+        carry, _ = jax.lax.scan(body, (pos, neg, lsum, lcnt), (idxs, masks))
+        return carry
+
+    def init_carry():
+        return (
+            jnp.zeros((n_domain * n_bins,), jnp.float32),
+            jnp.zeros((n_domain * n_bins,), jnp.float32),
+            jnp.zeros((n_domain,), jnp.float32),
+            jnp.zeros((n_domain,), jnp.float32),
+        )
+
+    return eval_scan_hist, init_carry
+
+
 def make_eval_step(model, multi_tower: bool, compute_dtype: str = "float32"):
     """Jitted eval: probabilities per row (group tower selected)."""
 
