@@ -33,10 +33,15 @@ def test_reg_tree_structure(name):
     coefs = reg_coef_tree(params, name, 1e-5, 1e-5, 1e-5)
     cpaths = _flat_paths(coefs)
 
-    # embedding + first-order linear always registered (layer.py:31-33)
+    # embedding + first-order linear always registered (layer.py:31-33);
+    # PNN (a zoo extension, not a reference model) has no wide linear term
     assert cpaths["embedding/table"] == 1e-5
     lin_key = "aux/linear/weight" if "aux/linear/weight" in cpaths else "linear/weight"
-    assert cpaths[lin_key] == 1e-5
+    if name in ("ipnn", "opnn"):
+        assert lin_key not in cpaths
+        lin_key = None
+    else:
+        assert cpaths[lin_key] == 1e-5
 
     # no bias is ever regularized ('weight' in name filter)
     for path, c in cpaths.items():

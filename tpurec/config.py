@@ -66,6 +66,15 @@ class ModelConfig:
     dlm_iters: int = 3
     dlm_update_rate: float = 0.9              # adl.py:22
 
+    # zoo extensions BEYOND the reference (models the reference's layer
+    # library supports but never wires up, layer.py:446-582): xDeepFM CIN,
+    # PNN inner/outer product, AFM attention pooling
+    cin_layer_sizes: Tuple[int, ...] = (128, 128)
+    cin_split_half: bool = True
+    pnn_kernel_type: str = "mat"              # opnn kernel: mat|vec|num
+    afm_attn_size: int = 16
+    afm_dropouts: Tuple[float, float] = (0.2, 0.2)
+
     # adasparse (adasparse.py:44-46)
     adasparse_alpha: float = 1.0
     adasparse_beta: float = 2.0

@@ -17,6 +17,7 @@ from tpurec.models.base import AuxLogits, CTRModel
 from tpurec.models.dcn import DCN
 from tpurec.models.dcnv2 import DCNv2
 from tpurec.models.deepfm import DeepFM
+from tpurec.models.extensions import AFM, PNN, xDeepFM
 from tpurec.models.hinet import HiNet
 from tpurec.models.mmoe import MMoE
 from tpurec.models.pepnet import PEPNet
@@ -40,6 +41,12 @@ MODEL_REGISTRY = {
     "adl-split": ADL,
     "hinet": HiNet,
     "adasparse": AdaSparse,
+    # zoo extensions beyond the reference (models/extensions.py): built on
+    # the interaction ops the reference ships but never uses
+    "xdeepfm": xDeepFM,
+    "ipnn": PNN,
+    "opnn": PNN,
+    "afm": AFM,
 }
 
 # models whose output is [B, n_tower] and whose loss selects the group tower
@@ -72,6 +79,8 @@ def build_model(
         kw["use_ppnet"] = True
     elif name in ("epnet", "epnet-single"):
         kw["use_ppnet"] = False
+    elif name == "opnn":
+        kw["use_inner"] = False
     if name.endswith("-single"):
         kw["n_tower"] = 1
     return kls(**kw)

@@ -64,6 +64,11 @@ MODEL_REG_PREFIXES: Dict[str, List[str]] = {
         r"^shared_gate/", r"^san_gate/", r"^tower/",
     ],
     "adasparse": [r"^linear_w_\d+$", r"^pruner_\d+/"],
+    # zoo extensions (models/extensions.py)
+    "xdeepfm": [r"^mlp/", r"^cin/"],
+    "ipnn": [r"^mlp/", r"^product/"],
+    "opnn": [r"^mlp/", r"^product/"],
+    "afm": [r"^afm/"],
 }
 
 
