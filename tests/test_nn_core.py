@@ -39,6 +39,19 @@ def test_fused_embedding_offsets(rng):
     assert flat.shape == (6, 12)
 
 
+def test_fused_embedding_init_std_knob(rng):
+    """Default init is N(0,1) (reference layer.py:140); init_std is the
+    opt-in scaled alternative."""
+    field_dims = (4000, 3000)
+    ids = jnp.zeros((2, 2), jnp.int32)
+    default = FusedEmbedding(field_dims, embed_dim=8).init(
+        jax.random.PRNGKey(0), ids)["params"]["table"]
+    scaled = FusedEmbedding(field_dims, embed_dim=8, init_std=0.01).init(
+        jax.random.PRNGKey(0), ids)["params"]["table"]
+    assert abs(float(jnp.std(default)) - 1.0) < 0.02
+    assert abs(float(jnp.std(scaled)) - 0.01) < 0.001
+
+
 def test_linear_matches_torch_math(rng):
     x = rng.normal(size=(4, 8)).astype(np.float32)
     lin = Linear(3)

@@ -43,6 +43,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--l2_reg", type=float, default=1e-5)
     p.add_argument("--epoch", type=int, default=10)
     p.add_argument("--embed_dim", type=int, default=16)
+    # None = reference N(0,1) embedding init (layer.py:140)
+    p.add_argument("--embed_init_std", type=float, default=None)
     p.add_argument("--prepare2train_month", type=int, default=12)
     p.add_argument("--group_strategy", default="mix")
     p.add_argument("--domain_filter", default=None,
@@ -94,7 +96,8 @@ def parse_args(argv=None) -> argparse.Namespace:
 def build_config(args: argparse.Namespace) -> Config:
     return Config(
         model=ModelConfig(
-            model=args.model, embed_dim=args.embed_dim, l2_reg=args.l2_reg
+            model=args.model, embed_dim=args.embed_dim, l2_reg=args.l2_reg,
+            embed_init_std=args.embed_init_std,
         ),
         cdc=CDCConfig(
             base_model=args.base_model, n_cluster=args.n_cluster,

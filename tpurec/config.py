@@ -23,6 +23,10 @@ class ModelConfig:
     model: str = "deepfm"
     embed_dim: int = 16                       # config.py:12
     dropout: float = 0.2                      # model ctors' default
+    # embedding-table init std; None = N(0,1) (torch nn.Embedding default,
+    # layer.py:140 — saturates initial FM/linear logits, hence DeepFM's slow
+    # first epochs).  Opt-in smaller std is a documented divergence.
+    embed_init_std: Optional[float] = None
 
     # common MLP dims for dcn/dcnv2/autoint (config.py:18)
     mlp_dims: Tuple[int, ...] = (256, 128, 64)

@@ -100,5 +100,8 @@ class CTRModel(nn.Module):
         if embed_rows is not None:
             emb = embed_rows.reshape(x.shape[0], self.field_num, self.embed_dim)
         else:
-            emb = FusedEmbedding(self.field_dims, self.embed_dim, name="embedding")(x)
+            emb = FusedEmbedding(
+                self.field_dims, self.embed_dim,
+                init_std=self.cfg.embed_init_std, name="embedding",
+            )(x)
         return emb.reshape(emb.shape[0], -1), emb

@@ -299,6 +299,11 @@ class FusedEmbedding(nn.Module):
 
     field_dims: Tuple[int, ...]
     embed_dim: int
+    # None -> N(0,1), the torch nn.Embedding default the reference relies on
+    # (layer.py:140).  A small std (e.g. 0.01 or 1/sqrt(embed_dim)) avoids
+    # the saturated initial logits that give DeepFM its slow first epochs —
+    # an OPT-IN documented divergence from reference init.
+    init_std: Optional[float] = None
 
     def setup(self):
         layout = EmbeddingLayout(self.field_dims)
@@ -307,7 +312,10 @@ class FusedEmbedding(nn.Module):
         self.field_num = len(self.field_dims)
 
         def init_with_zero_pad(key, shape):
-            w = tinit.embedding_init(key, shape)
+            if self.init_std is None:
+                w = tinit.embedding_init(key, shape)
+            else:
+                w = tinit.normal_init(self.init_std)(key, shape)
             if layout.vocab > layout.n_rows:
                 w = w.at[layout.n_rows:].set(0.0)
             return w
