@@ -86,6 +86,12 @@ def test_streaming_eval_matches_exact(data):
     stream_odd = tr.evaluate_streaming(Xv[:1001], yv[:1001], domain_cnt_weight=w)
     assert abs(stream_odd["total_auc"] - exact_odd["total_auc"]) < 1e-3
     assert abs(stream_odd["total_loss"] - exact_odd["total_loss"]) < 1e-5
+    # oversized datasets stream through fixed-size zero-padded row windows
+    # (forced here by shrinking the HBM budget) with identical results
+    tr.DEVICE_RESIDENT_BYTES = 64 << 10
+    stream_w = tr.evaluate_streaming(Xv, yv, domain_cnt_weight=w)
+    assert abs(stream_w["total_auc"] - stream["total_auc"]) < 1e-6
+    assert abs(stream_w["total_loss"] - stream["total_loss"]) < 1e-6
 
 
 def test_early_stop_and_checkpoint(tmp_path, data):

@@ -240,8 +240,21 @@ def main(argv=None):
             mesh = make_mesh(n_data, n_model, devices=jax.devices()[:n_use])
             shardings = Shardings(
                 mesh, expert_parallel=args.mesh_expert_parallel)
+            # record the RESOLVED mesh (mesh_data=0 means auto) so the
+            # config serialized into checkpoints describes the actual run
+            import dataclasses
+
+            cfg = dataclasses.replace(
+                cfg, mesh=dataclasses.replace(
+                    cfg.mesh, n_data=n_data, n_model=n_model))
 
     if "cdc" in cfg.model.model:
+        if cfg.train.eval_streaming:
+            # be loud rather than silently running the exact host-gather
+            # eval the user opted out of
+            print("WARNING: --eval_streaming is not supported for CDC "
+                  "training; using the exact per-domain eval instead.",
+                  flush=True)
         from tpurec.cdc import CDCTrainer
 
         tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx,

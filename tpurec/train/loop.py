@@ -425,6 +425,21 @@ class Trainer:
 
     EVAL_CHUNK = 128  # batches per eval dispatch (device-resident path)
 
+    @staticmethod
+    def _padded_index_batches(n: int, bs: int, chunk: int):
+        """[nb, bs] row-index batches padded to a CHUNK-aligned batch count
+        (a ragged tail would force a second scan compile — the trip count is
+        baked into the executable).  Pad entries index row 0 with mask 0.
+        Returns (idx int32, mask f32, chunk_used)."""
+        nb = -(-n // bs)
+        ch = min(chunk, nb)
+        nb = -(-nb // ch) * ch
+        idx = np.zeros(nb * bs, dtype=np.int32)
+        idx[:n] = np.arange(n, dtype=np.int32)
+        mask = np.zeros(nb * bs, dtype=np.float32)
+        mask[:n] = 1.0
+        return idx.reshape(nb, bs), mask.reshape(nb, bs), ch
+
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
         bs = self.cfg.train.bs
@@ -433,16 +448,10 @@ class Trainer:
             # EVAL_CHUNK batches per dispatch, one host fetch per chunk
             Xdev, _, d2g = self._device_dataset(X, y)
             n = X.shape[0]
-            # pad the batch count to a chunk multiple: predictions past n
-            # are discarded anyway and a ragged tail would force a second
-            # scan compile (trip count is baked into the executable).  The
-            # chunk adapts down for small splits so padding waste stays <2x.
-            nb = -(-n // bs)
-            ch = min(self.EVAL_CHUNK, nb)
-            nb = -(-nb // ch) * ch
-            idx = np.arange(nb * bs, dtype=np.int64)
-            idx[n:] = 0
-            idx = idx.reshape(nb, bs).astype(np.int32)
+            # predictions past n are discarded by the final slice; the
+            # chunk adapts down for small splits so padding waste stays <2x
+            idx, _, ch = self._padded_index_batches(n, bs, self.EVAL_CHUNK)
+            nb = idx.shape[0]
             preds = []
             for b0 in range(0, nb, ch):
                 chunk = jnp.asarray(idx[b0:b0 + ch])
@@ -501,23 +510,42 @@ class Trainer:
                 self.n_domain, n_bins, self.cfg.train.compute_dtype)
         scan_hist, init_carry = cache[key]
 
-        Xdev, ydev, d2g = self._device_dataset(X, y)
         n = X.shape[0]
-        nb = -(-n // bs)
-        ch = min(self.EVAL_CHUNK, nb)
-        nb = -(-nb // ch) * ch
-        idx = np.zeros(nb * bs, dtype=np.int32)
-        idx[:n] = np.arange(n, dtype=np.int32)
-        mask = np.zeros(nb * bs, dtype=np.float32)
-        mask[:n] = 1.0
-        idx = idx.reshape(nb, bs)
-        mask = mask.reshape(nb, bs)
         carry = init_carry()
-        for b0 in range(0, nb, ch):
-            carry = scan_hist(
-                self.state.params, self.state.model_state, Xdev, ydev, d2g,
-                (jnp.asarray(idx[b0:b0 + ch]), jnp.asarray(mask[b0:b0 + ch])),
-                *carry)
+
+        def run_window(Xdev, ydev, d2g, n_rows):
+            nonlocal carry
+            idx, mask, ch = self._padded_index_batches(n_rows, bs, self.EVAL_CHUNK)
+            for b0 in range(0, idx.shape[0], ch):
+                carry = scan_hist(
+                    self.state.params, self.state.model_state, Xdev, ydev,
+                    d2g,
+                    (jnp.asarray(idx[b0:b0 + ch]),
+                     jnp.asarray(mask[b0:b0 + ch])),
+                    *carry)
+
+        if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
+            Xdev, ydev, d2g = self._device_dataset(X, y)
+            run_window(Xdev, ydev, d2g, n)
+        else:
+            # dataset exceeds the HBM budget: stream it through fixed-size
+            # row windows (constant [W, F] device shapes -> one compile;
+            # the tail window is zero-padded and masked out).  The
+            # histogram carry keeps accumulating across windows — this is
+            # the path for eval splits too large to hold on device.
+            row_bytes = 4 * X.shape[1] + 4  # int32 ids + f32 label on device
+            W = max(bs, (self.DEVICE_RESIDENT_BYTES // row_bytes) // bs * bs)
+            d2g = jnp.asarray(self.domain2group, jnp.int32)
+            yf = y.astype(np.float32).reshape(-1)
+            for w0 in range(0, n, W):
+                Xw = np.asarray(X[w0:w0 + W], dtype=np.int32)
+                yw = yf[w0:w0 + W]
+                nw = Xw.shape[0]
+                if nw < W:
+                    Xw = np.concatenate(
+                        [Xw, np.zeros((W - nw, X.shape[1]), np.int32)])
+                    yw = np.concatenate([yw, np.zeros(W - nw, np.float32)])
+                run_window(jnp.asarray(Xw), jnp.asarray(yw), d2g, nw)
         pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
         pos = pos.reshape(self.n_domain, n_bins)
         neg = neg.reshape(self.n_domain, n_bins)

@@ -12,6 +12,7 @@ Loss matches BCELoss on sigmoid outputs, computed stably from logits.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Any, Callable, Dict, Optional
 
 import flax.struct
@@ -240,9 +241,13 @@ def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
             flat = dom * n_bins + (pc * n_bins).astype(jnp.int32)
             pos = pos.at[flat].add(mask * y)
             neg = neg.at[flat].add(mask * (1.0 - y))
-            # sklearn-style clipped BCE (metrics.log_loss_score)
-            pl = jnp.clip(p, 1e-15, 1.0 - 1e-15)
-            ll = -(y * jnp.log(pl) + (1.0 - y) * jnp.log(1.0 - pl))
+            # BCE in logit space: y*softplus(-l) + (1-y)*softplus(l) — finite
+            # for every finite logit (a p-space clip at 1-1e-15 is a no-op in
+            # f32, and log(1-p) then yields inf / 0*inf=NaN on saturated
+            # predictions).  Capped at -log(1e-15) to keep the sklearn-style
+            # per-sample bound of metrics.log_loss_score.
+            ll = y * jax.nn.softplus(-logit) + (1.0 - y) * jax.nn.softplus(logit)
+            ll = jnp.minimum(ll, -math.log(1e-15))
             lsum = lsum.at[dom].add(mask * ll)
             lcnt = lcnt.at[dom].add(mask)
             return (pos, neg, lsum, lcnt), None
