@@ -51,6 +51,21 @@ def test_cdc_mmoe_end_to_end(data):
     assert np.abs(tr.cluster.old_matrix_A).sum() > 0
 
 
+def test_cdc_streaming_eval_matches_exact(data):
+    """CDC's on-device histogram eval matches the exact split-mode eval."""
+    cfg = _cfg("mmoe")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.fit(data.train, data.valid)
+    exact = tr.evaluate(tr.valid_batcher)
+    stream = tr.evaluate_streaming(tr.valid_batcher)
+    assert abs(stream["total_auc"] - exact["total_auc"]) < 5e-4
+    assert abs(stream["total_loss"] - exact["total_loss"]) < 1e-5
+    assert abs(stream["mean_auc"] - exact["mean_auc"]) < 1e-3
+    assert set(stream["domain_auc"]) == set(exact["domain_auc"])
+    for d in exact["domain_auc"]:
+        assert abs(stream["domain_auc"][d] - exact["domain_auc"][d]) < 2e-3
+
+
 def test_cdc_snapshot_rollback_restores_params(data):
     cfg = _cfg("mmoe")
     tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)

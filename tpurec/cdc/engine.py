@@ -23,6 +23,8 @@ TPU:
 
 from __future__ import annotations
 
+import functools
+import math
 import os
 import time
 from functools import partial
@@ -37,7 +39,8 @@ import flax.serialization
 from tpurec.config import Config
 from tpurec.cdc.algorithm import CDCClusterState, update_group
 from tpurec.data.loader import DomainBatcher
-from tpurec.metrics import auc_score, evaluate_multi_domain, log_loss_score
+from tpurec.metrics import (auc_score, evaluate_multi_domain,
+                            log_loss_score, streaming_eval_result)
 from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
 from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.hybrid import EmbeddingUpdater
@@ -384,6 +387,45 @@ class CDCTrainer:
             return ps
 
         self._predict_split_scan = predict_split_scan
+
+        n_bins = self._HIST_BINS
+
+        @functools.partial(jax.jit, donate_argnums=(6, 7, 8, 9))
+        def predict_split_hist_scan(params, model_state, xs, ys, masks,
+                                    domain2group, pos, neg, lsum, lcnt):
+            """Split-mode eval accumulating per-(domain, bin) AUC
+            histograms + capped logit-space BCE sums on device — the
+            streaming counterpart of predict_split_scan (no prediction
+            ever crosses to host; see train.step.make_streaming_eval_scan
+            for the formulation notes)."""
+
+            def body(carry, xym):
+                pos, neg, lsum, lcnt = carry
+                x, y, mask = xym
+                x = shard_rows(x)
+                with _precision_scope(cfg.train.compute_dtype):
+                    out = model.apply(
+                        {"params": params, **model_state}, x, train=False)
+                dom = x[:, domain_idx].astype(jnp.int32)
+                groups = domain2group[dom]
+                logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
+                p = jax.nn.sigmoid(logit)
+                flat = dom * n_bins + (
+                    jnp.clip(p, 0.0, 1.0 - 1e-7) * n_bins).astype(jnp.int32)
+                pos = pos.at[flat].add(mask * y)
+                neg = neg.at[flat].add(mask * (1.0 - y))
+                ll = (y * jax.nn.softplus(-logit)
+                      + (1.0 - y) * jax.nn.softplus(logit))
+                ll = jnp.minimum(ll, -math.log(1e-15))
+                lsum = lsum.at[dom].add(mask * ll)
+                lcnt = lcnt.at[dom].add(mask)
+                return (pos, neg, lsum, lcnt), None
+
+            carry, _ = jax.lax.scan(
+                body, (pos, neg, lsum, lcnt), (xs, ys, masks))
+            return carry
+
+        self._predict_split_hist_scan = predict_split_hist_scan
 
     # ------------------------------------------------------------------
     # snapshot / rollback (cdc.py:343-354): params + model buffers, NOT opt
@@ -855,6 +897,7 @@ class CDCTrainer:
         return loss_sum / max(n_steps, 1)
 
     _SPAN_SCAN = 64  # split-mode steps per scanned dispatch
+    _HIST_BINS = 8192  # streaming-eval score bins (AUC error O(1/bins))
 
     def _train_span(self, seq, lo: int, hi: int) -> float:
         """Train split-mode steps lo..hi-1 of the domain sequence via
@@ -933,6 +976,45 @@ class CDCTrainer:
             evaluate_multi_domain(targets, predicts, domains, self.domain_cnt_weight)
         )
         return result
+
+    def evaluate_streaming(self, batcher: DomainBatcher) -> Dict:
+        """Split-mode eval with NO host prediction gather: per-(domain, bin)
+        AUC histograms + capped BCE sums accumulate on device (see
+        Trainer.evaluate_streaming); same result keys as :meth:`evaluate`,
+        AUC within O(1/_HIST_BINS) of it."""
+        bs = self.cfg.train.bs
+        n_bins = self._HIST_BINS
+        X = np.concatenate(batcher.dom_X, axis=0)
+        y = np.concatenate(batcher.dom_y, axis=0).astype(np.float32)
+        n = len(y)
+        nb = -(-n // bs)
+        CH = min(128, nb)
+        nb = -(-nb // CH) * CH
+        Xp = np.zeros((nb * bs, X.shape[1]), X.dtype)
+        Xp[:n] = X
+        yp = np.zeros(nb * bs, np.float32)
+        yp[:n] = y
+        mp = np.zeros(nb * bs, np.float32)
+        mp[:n] = 1.0
+        carry = (
+            jnp.zeros((self.n_domain * n_bins,), jnp.float32),
+            jnp.zeros((self.n_domain * n_bins,), jnp.float32),
+            jnp.zeros((self.n_domain,), jnp.float32),
+            jnp.zeros((self.n_domain,), jnp.float32),
+        )
+        for b0 in range(0, nb, CH):
+            s = slice(b0 * bs, (b0 + CH) * bs)
+            carry = self._predict_split_hist_scan(
+                self.state.params, self.state.model_state,
+                jnp.asarray(Xp[s].reshape(CH, bs, -1), jnp.int32),
+                jnp.asarray(yp[s].reshape(CH, bs)),
+                jnp.asarray(mp[s].reshape(CH, bs)),
+                self.domain2group_dev, *carry)
+        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+        return streaming_eval_result(
+            pos.reshape(self.n_domain, n_bins),
+            neg.reshape(self.n_domain, n_bins), lsum, lcnt,
+            self.domain_cnt_weight)
 
     # ------------------------------------------------------------------
     def snapshot_bytes(self) -> bytes:
@@ -1013,11 +1095,13 @@ class CDCTrainer:
         # overlap the warmup phase and each other (remote compiler is
         # parallel), so the first matrix update doesn't stall on them
         self.warm_compile(self.cfg.cdc.update_matrix_step)
+        eval_fn = (self.evaluate_streaming if self.cfg.train.eval_streaming
+                   else self.evaluate)
         best_cluster = None
         for epoch_i in range(self.cfg.train.epoch):
             t0 = time.time()
             train_loss = self.train_cdc_epoch(epoch_i, log_fn=log_fn)
-            result = self.evaluate(self.valid_batcher)
+            result = eval_fn(self.valid_batcher)
             result.update(
                 epoch=epoch_i, train_loss=train_loss,
                 epoch_seconds=time.time() - t0,
@@ -1044,5 +1128,5 @@ class CDCTrainer:
                "domain2group_list": self.cluster.domain2group_list,
                "s_group2domain_list": self.cluster.s_group2domain_list}
         if test is not None:
-            out["test"] = self.evaluate(self.test_batcher)
+            out["test"] = eval_fn(self.test_batcher)
         return out

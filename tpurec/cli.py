@@ -249,12 +249,6 @@ def main(argv=None):
                     cfg.mesh, n_data=n_data, n_model=n_model))
 
     if "cdc" in cfg.model.model:
-        if cfg.train.eval_streaming:
-            # be loud rather than silently running the exact host-gather
-            # eval the user opted out of
-            print("WARNING: --eval_streaming is not supported for CDC "
-                  "training; using the exact per-domain eval instead.",
-                  flush=True)
         from tpurec.cdc import CDCTrainer
 
         tr = CDCTrainer(cfg, field_dims, n_domain, domain_idx,

@@ -5,4 +5,5 @@ from tpurec.metrics.metrics import (
     gauc_score,
     streaming_auc_bins,
     streaming_auc_from_bins,
+    streaming_eval_result,
 )

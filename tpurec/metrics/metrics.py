@@ -143,6 +143,42 @@ def streaming_auc_bins(y_true, y_prob, n_bins: int = 8192, domains=None, n_domai
     return pos.reshape(n_domain, n_bins), neg.reshape(n_domain, n_bins)
 
 
+def streaming_eval_result(pos, neg, lsum, lcnt, domain_cnt_weight=None) -> Dict:
+    """Assemble the eval result dict from device-accumulated histograms.
+
+    Inputs: pos/neg [n_domain, n_bins] score histograms, lsum/lcnt
+    [n_domain] log-loss sums and row counts.  Returns the same keys as the
+    exact eval (total_auc/total_loss, and with ``domain_cnt_weight`` the
+    per-domain dicts + weighted means; single-class domains contribute NaN
+    to the mean exactly like :func:`evaluate_multi_domain`).  Domains with
+    zero rows are omitted from the per-domain dicts and means.
+    """
+    pos = np.asarray(pos, dtype=np.float64)
+    neg = np.asarray(neg, dtype=np.float64)
+    lsum = np.asarray(lsum, dtype=np.float64)
+    lcnt = np.asarray(lcnt, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dom_auc = streaming_auc_from_bins(pos, neg)
+        dom_loss = lsum / lcnt
+    tot = streaming_auc_from_bins(
+        pos.sum(axis=0, keepdims=True), neg.sum(axis=0, keepdims=True))
+    result = {
+        "total_auc": float(tot[0]),
+        "total_loss": float(lsum.sum() / max(lcnt.sum(), 1.0)),
+    }
+    if domain_cnt_weight is not None:
+        present = np.nonzero(lcnt > 0)[0]
+        result.update({
+            "domain_auc": {int(d): float(dom_auc[d]) for d in present},
+            "domain_loss": {int(d): float(dom_loss[d]) for d in present},
+            "mean_auc": float(sum(
+                float(domain_cnt_weight[d]) * dom_auc[d] for d in present)),
+            "mean_loss": float(sum(
+                float(domain_cnt_weight[d]) * dom_loss[d] for d in present)),
+        })
+    return result
+
+
 def streaming_auc_from_bins(pos, neg) -> np.ndarray:
     """Trapezoidal AUC per domain from [n_domain, n_bins] histograms."""
     pos = np.asarray(pos, dtype=np.float64)

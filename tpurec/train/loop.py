@@ -496,7 +496,7 @@ class Trainer:
         Same result keys as :meth:`evaluate`.  This is the eval to use on a
         multi-chip mesh or when the prediction set is too large to gather.
         """
-        from tpurec.metrics import streaming_auc_from_bins
+        from tpurec.metrics import streaming_eval_result
         from tpurec.train.step import make_streaming_eval_scan
 
         bs = self.cfg.train.bs
@@ -547,32 +547,11 @@ class Trainer:
                     yw = np.concatenate([yw, np.zeros(W - nw, np.float32)])
                 run_window(jnp.asarray(Xw), jnp.asarray(yw), d2g, nw)
         pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
-        pos = pos.reshape(self.n_domain, n_bins)
-        neg = neg.reshape(self.n_domain, n_bins)
-
-        with np.errstate(invalid="ignore", divide="ignore"):
-            dom_auc = streaming_auc_from_bins(pos, neg)
-            dom_loss = lsum / lcnt
-        tot_pos, tot_neg = pos.sum(axis=0, keepdims=True), neg.sum(axis=0, keepdims=True)
-        result = {
-            "total_auc": float(streaming_auc_from_bins(tot_pos, tot_neg)[0]),
-            "total_loss": float(lsum.sum() / max(lcnt.sum(), 1.0)),
-        }
-        if self.cfg.train.is_evaluate_multi_domain and domain_cnt_weight is not None:
-            present = np.nonzero(lcnt > 0)[0]
-            domain_auc = {int(d): float(dom_auc[d]) for d in present}
-            domain_loss = {int(d): float(dom_loss[d]) for d in present}
-            # single-class domains contribute NaN to the weighted mean,
-            # matching evaluate_multi_domain's reference semantics
-            mean_auc = float(sum(
-                float(domain_cnt_weight[d]) * dom_auc[d] for d in present))
-            mean_loss = float(sum(
-                float(domain_cnt_weight[d]) * dom_loss[d] for d in present))
-            result.update({
-                "domain_auc": domain_auc, "domain_loss": domain_loss,
-                "mean_auc": mean_auc, "mean_loss": mean_loss,
-            })
-        return result
+        return streaming_eval_result(
+            pos.reshape(self.n_domain, n_bins),
+            neg.reshape(self.n_domain, n_bins), lsum, lcnt,
+            domain_cnt_weight
+            if self.cfg.train.is_evaluate_multi_domain else None)
 
     # ------------------------------------------------------------------
     def snapshot(self) -> bytes:
