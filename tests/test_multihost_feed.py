@@ -146,3 +146,39 @@ def test_dataset_range_single_process_covers_all():
          sh.devices_indices_map((feed.n_data,)).items()})
     # model-axis replicas share each block; the distinct blocks tile [0, n_data)
     assert blocks == list(range(feed.n_data))
+
+
+def test_multihost_streaming_eval_matches_local():
+    """evaluate_streaming_multihost on a 1-process mesh must reproduce the
+    local evaluate_streaming result exactly (same histograms, assembled
+    from explicitly data-sharded global batches)."""
+    from tpurec.config import Config, ModelConfig, TrainConfig
+    from tpurec.data import make_synthetic
+    from tpurec.parallel import Shardings
+    from tpurec.train import Trainer
+
+    data = make_synthetic(n_rows=3000, n_fields=6, n_domain=4, domain_idx=3,
+                          seed=5)
+    cfg = Config(
+        model=ModelConfig(model="mmoe", embed_dim=8, mmoe_expert_dims=(16,),
+                          mmoe_tower_dims=(8,), use_atten=False, dropout=0.0),
+        train=TrainConfig(bs=256, epoch=1, seed=0),
+    )
+    mesh = make_mesh(4, 2)
+    sh = Shardings(mesh)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain),
+                 mesh=mesh, shardings=sh)
+    Xtr, ytr = data.train
+    with mesh:
+        tr.train_epoch_multihost(Xtr, ytr, len(Xtr), epoch_i=0)
+        Xv, yv = data.valid
+        w = data.domain_cnt_weight()
+        local = tr.evaluate_streaming(Xv, yv, domain_cnt_weight=w)
+        mh = tr.evaluate_streaming_multihost(
+            Xv, yv, len(Xv), domain_cnt_weight=w)
+    assert abs(mh["total_auc"] - local["total_auc"]) < 1e-9
+    assert abs(mh["total_loss"] - local["total_loss"]) < 1e-6
+    assert mh["domain_auc"].keys() == local["domain_auc"].keys()
+    for d in local["domain_auc"]:
+        assert abs(mh["domain_auc"][d] - local["domain_auc"][d]) < 1e-9

@@ -553,6 +553,83 @@ class Trainer:
             domain_cnt_weight
             if self.cfg.train.is_evaluate_multi_domain else None)
 
+    def evaluate_streaming_multihost(self, X_local: np.ndarray,
+                                     y_local: np.ndarray,
+                                     n_global_rows: int,
+                                     domain_cnt_weight: Optional[np.ndarray] = None,
+                                     n_bins: int = 8192) -> Dict:
+        """Multi-host streaming eval: each process feeds only ITS dataset
+        shard of the global mesh (same contract as train_epoch_multihost);
+        histograms are replicated accumulators, so the sharded scatter-adds
+        all-reduce over the mesh and every process returns the identical
+        full-eval result.  No prediction is ever gathered to host."""
+        if self.mesh is None:
+            raise ValueError("evaluate_streaming_multihost requires a mesh")
+        from tpurec.metrics import streaming_eval_result
+        from tpurec.parallel.feed import GlobalBatchFeed, epoch_plan
+        from tpurec.train.step import make_streaming_eval_batch_scan
+
+        bs = self.cfg.train.bs
+        cache = getattr(self, "_stream_eval_mh_cache", None)
+        if cache is None:
+            cache = self._stream_eval_mh_cache = {}
+        if n_bins not in cache:
+            cache[n_bins] = make_streaming_eval_batch_scan(
+                self.model, self.multi_tower, self.domain_idx,
+                self.n_domain, n_bins, self.cfg.train.compute_dtype)
+        hist_scan, init_carry = cache[n_bins]
+
+        feed = GlobalBatchFeed(self.mesh, self.cfg.mesh.data_axis)
+        nb, bs_local = epoch_plan(n_global_rows, bs, feed)
+        K = self.EVAL_CHUNK
+        batcher = ArrayBatcher(
+            X_local, y_local, bs_local, group=self._group_of(X_local),
+            shuffle=False,
+        ) if len(X_local) else None
+        n_fields = (X_local.shape[1] if X_local.ndim == 2
+                    else len(self.model.field_dims))
+        filler = {
+            "x": np.zeros((bs_local, n_fields), np.int32),
+            "y": np.zeros(bs_local, np.float32),
+            "group": np.zeros(bs_local, np.int32),
+            "mask": np.zeros(bs_local, np.float32),
+        }
+
+        def local_stream():
+            produced = 0
+            if batcher is not None:
+                for b in batcher:
+                    if produced == nb:
+                        break
+                    produced += 1
+                    yield b
+            while produced < nb:
+                produced += 1
+                yield filler
+
+        carry = jax.device_put(
+            init_carry(), self.shardings.replicated()
+            if self.shardings is not None else None)
+        pending = []
+        done = 0
+        for batch in local_stream():
+            pending.append(batch)
+            if len(pending) < K and done + len(pending) < nb:
+                continue
+            stacked = {k: np.stack([b[k] for b in pending])
+                       for k in pending[0]}
+            gb = feed.global_stacked_batch(stacked, bs)
+            carry = hist_scan(
+                self.state.params, self.state.model_state, *carry, gb)
+            done += len(pending)
+            pending = []
+        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+        return streaming_eval_result(
+            pos.reshape(self.n_domain, n_bins),
+            neg.reshape(self.n_domain, n_bins), lsum, lcnt,
+            domain_cnt_weight
+            if self.cfg.train.is_evaluate_multi_domain else None)
+
     # ------------------------------------------------------------------
     def snapshot(self) -> bytes:
         return flax.serialization.to_bytes(self.state)

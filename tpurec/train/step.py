@@ -266,6 +266,56 @@ def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
     return eval_scan_hist, init_carry
 
 
+def make_streaming_eval_batch_scan(model, multi_tower: bool, domain_idx: int,
+                                   n_domain: int, n_bins: int = 8192,
+                                   compute_dtype: str = "float32"):
+    """Batch-mode variant of :func:`make_streaming_eval_scan` for inputs that
+    arrive as stacked global batches rather than device-resident row indices
+    — the multi-host eval path (each process contributes its dataset shard
+    via GlobalBatchFeed; the histogram accumulators are replicated, so the
+    scatter-adds all-reduce across the mesh and every process ends with the
+    full histograms)."""
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def hist_scan(params, model_state, pos, neg, lsum, lcnt, batches):
+        def body(carry, b):
+            pos, neg, lsum, lcnt = carry
+            x = b["x"].astype(jnp.int32)
+            y = b["y"].astype(jnp.float32)
+            mask = b["mask"]
+            dom = x[:, domain_idx].astype(jnp.int32)
+            with _precision_scope(compute_dtype):
+                out = model.apply(
+                    {"params": params, **model_state}, x,
+                    group=b.get("group"), train=False,
+                )
+            logit = select_tower(out, b["group"]) if multi_tower else out
+            p = jax.nn.sigmoid(logit)
+            flat = dom * n_bins + (
+                jnp.clip(p, 0.0, 1.0 - 1e-7) * n_bins).astype(jnp.int32)
+            pos = pos.at[flat].add(mask * y)
+            neg = neg.at[flat].add(mask * (1.0 - y))
+            ll = (y * jax.nn.softplus(-logit)
+                  + (1.0 - y) * jax.nn.softplus(logit))
+            ll = jnp.minimum(ll, -math.log(1e-15))
+            lsum = lsum.at[dom].add(mask * ll)
+            lcnt = lcnt.at[dom].add(mask)
+            return (pos, neg, lsum, lcnt), None
+
+        carry, _ = jax.lax.scan(body, (pos, neg, lsum, lcnt), batches)
+        return carry
+
+    def init_carry():
+        return (
+            jnp.zeros((n_domain * n_bins,), jnp.float32),
+            jnp.zeros((n_domain * n_bins,), jnp.float32),
+            jnp.zeros((n_domain,), jnp.float32),
+            jnp.zeros((n_domain,), jnp.float32),
+        )
+
+    return hist_scan, init_carry
+
+
 def make_eval_step(model, multi_tower: bool, compute_dtype: str = "float32"):
     """Jitted eval: probabilities per row (group tower selected)."""
 
