@@ -214,3 +214,29 @@ def test_predictor_matches_bf16_compute_eval(data):
                      domain2group=np.arange(data.n_domain),
                      batch_sizes=(256,)).load_from_trainer(tr)
     np.testing.assert_allclose(pred(X), oracle, rtol=1e-6, atol=1e-7)
+
+
+def test_predictor_serves_extension_models(tmp_path, data):
+    """The serving path is model-agnostic: the zoo-extension single-head
+    models round-trip through a self-describing checkpoint and match the
+    training forward."""
+    from tpurec.serve import predictor_from_checkpoint
+
+    for name in ("xdeepfm", "afm"):
+        cfg = Config(
+            model=ModelConfig(model=name, embed_dim=8, mlp_dims=(32, 16),
+                              cin_layer_sizes=(8, 8), afm_attn_size=8),
+            train=TrainConfig(bs=256, epoch=1, seed=0),
+        )
+        tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+        tr.fit(data.train, data.valid,
+               domain_cnt_weight=data.domain_cnt_weight())
+        path = str(tmp_path / f"{name}.pkl")
+        tr.save_checkpoint(path)
+        pred = predictor_from_checkpoint(path, batch_sizes=(512,))
+        X = data.valid[0][:300]
+        out = tr.model.apply(
+            {"params": tr.state.params, **tr.state.model_state},
+            jnp.asarray(X), train=False)
+        want = np.asarray(jax.nn.sigmoid(out))
+        np.testing.assert_allclose(pred(X), want, rtol=1e-5, atol=1e-6)
