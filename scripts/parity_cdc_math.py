@@ -122,6 +122,75 @@ def main():
             ours.append(st_m.p_weight)
         check(f"update_p_weight[{method}]", refs, ours)
 
+    # --- full update_group: call 1 (KMeans seeding) + call 2 (iterative
+    # re-assignment), with EMA matrix blending, on identical random
+    # matrices.  save_draw_matrix is stubbed (artifact IO), and the
+    # reference's unseeded sklearn KMeans is pinned to the same seeded
+    # call ours uses so the comparison is deterministic. ---
+    RefCDC.save_draw_matrix = lambda self, *a, **k: None
+    RefCDC.kmeans_group = staticmethod(
+        lambda mc, ncl: alg.kmeans_group(np.asarray(mc), ncl, seed=123))
+
+    for affinity in ("minus", "divide"):
+        cfg2 = CDCConfig(n_cluster=3, p_weight=0.4,
+                         p_weight_method="exponential_decay",
+                         p_weight_exp_decay=0.4, affinity_func=affinity,
+                         old_matrix_weight=0.3, cluster_mode="iterative")
+        st2 = alg.CDCClusterState.create(n_domain, 3, cfg2)
+
+        r = RefCDC.__new__(RefCDC)
+        r.n_domain, r.n_cluster, r.device = n_domain, 3, "cpu"
+        r.config = SimpleNamespace(p_weight=0.4, p_weight_exp_decay=0.4,
+                                   affinity_func=affinity)
+        r.p_weight, r.p_weight_method = 0.4, "exponential_decay"
+        r.old_matrix_weight = 0.3
+        r.old_matrix_A = r.old_matrix_B = r.old_matrix_mask = None
+        r.call_update_group = 0
+        # metric direction flips for 'divide' (cdc.py:88-93); use_metric='loss'
+        if affinity == "divide":
+            r.default_metric_value, r.is_max_metric_value_better = -1e6, True
+        else:
+            r.default_metric_value, r.is_max_metric_value_better = 1e6, False
+        r.domain_cnt_weight = torch.tensor(w)
+        r.domain2group = torch.zeros(n_domain, dtype=torch.int64)
+        r.domain2group_list = [0] * n_domain
+        r.t_group2domain_list = None
+        r.s_group2domain_list = None
+        r.initial_s_group2domain_list = None
+
+        for call in (1, 2):
+            # fresh "populated" matrices, identical on both sides (divide
+            # needs positive losses)
+            mA = rng.random((n_domain + 1, n_domain)) + 0.3
+            mB = rng.random((n_domain + 3, n_domain)) + 0.3
+            mM = rng.random((n_mask, n_domain)) + 0.3
+            r.matrix_A = torch.tensor(mA.copy())
+            r.matrix_B = torch.tensor(mB.copy())
+            r.matrix_mask = torch.tensor(mM.copy())
+            st2.matrix_A, st2.matrix_B = mA.copy(), mB.copy()
+            st2.matrix_mask = mM.copy()
+
+            ref_groups = r.update_group(mode="iterative")
+            our_groups = alg.update_group(st2, cfg2, w, kmeans_seed=123)
+            check(f"update_group[{affinity}][call {call}].domain2group",
+                  np.asarray(ref_groups, np.float64),
+                  np.asarray(our_groups, np.float64), tol=0)
+            for gi in range(3):
+                check(f"update_group[{affinity}][call {call}].s_group[{gi}]",
+                      np.asarray(r.s_group2domain_list[gi], np.float64),
+                      np.asarray(st2.s_group2domain_list[gi], np.float64),
+                      tol=0)
+            check(f"update_group[{affinity}][call {call}].matrix_A",
+                  r.matrix_A.numpy(), st2.matrix_A, tol=1e-12)
+            check(f"update_group[{affinity}][call {call}].matrix_B",
+                  r.matrix_B.numpy(), st2.matrix_B, tol=1e-12)
+            check(f"update_group[{affinity}][call {call}].matrix_mask",
+                  r.matrix_mask.numpy(), st2.matrix_mask, tol=1e-12)
+            check(f"update_group[{affinity}][call {call}].matrix_causal",
+                  r.matrix_causal.numpy(), st2.matrix_causal, tol=1e-5)
+            check(f"update_group[{affinity}][call {call}].p_weight",
+                  r.p_weight, st2.p_weight)
+
     print()
     if failures:
         print("FAILED:", failures)
