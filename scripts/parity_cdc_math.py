@@ -170,7 +170,12 @@ def main():
             st2.matrix_A, st2.matrix_B = mA.copy(), mB.copy()
             st2.matrix_mask = mM.copy()
 
-            ref_groups = r.update_group(mode="iterative")
+            # call 1 seeds via KMeans; call 2 exercises the re-assignment —
+            # iterative for 'minus', greedy for 'divide' (covers both modes)
+            mode = "greedy" if (call == 2 and affinity == "divide") else "iterative"
+            if mode == "greedy":
+                cfg2 = CDCConfig(**{**cfg2.__dict__, "cluster_mode": "greedy"})
+            ref_groups = r.update_group(mode=mode)
             our_groups = alg.update_group(st2, cfg2, w, kmeans_seed=123)
             check(f"update_group[{affinity}][call {call}].domain2group",
                   np.asarray(ref_groups, np.float64),
