@@ -143,3 +143,81 @@ def test_star_weight_fusion_matches_torch_linear(rng):
             p["aux"]["linear"]["bias"])
         want = logit.detach().numpy() + aux[:, 0]
         np.testing.assert_allclose(np.array(out[:, t]), want, atol=2e-5)
+
+
+def test_cin_matches_torch_conv1d(rng):
+    """CompressedInteractionNetwork == the torch Conv1d(kernel=1) CIN
+    (reference layer.py:546-582), including split_half bookkeeping."""
+    from tpurec.nn.interactions import CompressedInteractionNetwork
+
+    B, F_, D = 6, 5, 4
+    sizes = (8, 6, 4)
+    x = rng.normal(size=(B, F_, D)).astype(np.float32)
+    ours = CompressedInteractionNetwork(F_, sizes, split_half=True)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    convs = torch.nn.ModuleList()
+    prev = F_
+    for i, s in enumerate(sizes):
+        conv = torch.nn.Conv1d(F_ * prev, s, 1)
+        with torch.no_grad():
+            conv.weight.copy_(torch.tensor(
+                np.array(p[f"conv_w_{i}"]).T[:, :, None]))
+            conv.bias.copy_(torch.tensor(np.array(p[f"conv_b_{i}"])))
+        convs.append(conv)
+        prev = s // 2 if i != len(sizes) - 1 else s
+
+    import torch.nn.functional as TF
+
+    xs, x0, h = [], torch.tensor(x).unsqueeze(2), torch.tensor(x)
+    for i in range(len(sizes)):
+        z = x0 * h.unsqueeze(1)
+        bsz, f0, fin, d = z.shape
+        z = TF.relu(convs[i](z.reshape(bsz, f0 * fin, d)))
+        if i != len(sizes) - 1:
+            z, h = torch.split(z, z.shape[1] // 2, dim=1)
+        else:
+            h = z
+        xs.append(z)
+    want = torch.sum(torch.cat(xs, dim=1), 2).detach().numpy()
+
+    got = np.array(ours.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_afm_matches_torch(rng):
+    """AttentionalFactorizationMachine == the torch AFM
+    (reference layer.py:518-543), eval mode (dropout off)."""
+    from tpurec.nn.interactions import AttentionalFactorizationMachine
+
+    B, F_, D, A = 7, 5, 6, 4
+    x = rng.normal(size=(B, F_, D)).astype(np.float32)
+    ours = AttentionalFactorizationMachine(A, dropouts=(0.0, 0.0))
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables["params"]
+
+    attn = torch.nn.Linear(D, A)
+    proj = torch.nn.Linear(A, 1)
+    fc = torch.nn.Linear(D, 1)
+    with torch.no_grad():
+        attn.weight.copy_(torch.tensor(np.array(p["attention"]["weight"]).T))
+        attn.bias.copy_(torch.tensor(np.array(p["attention"]["bias"])))
+        proj.weight.copy_(torch.tensor(np.array(p["projection"]["weight"]).T))
+        proj.bias.copy_(torch.tensor(np.array(p["projection"]["bias"])))
+        fc.weight.copy_(torch.tensor(np.array(p["fc"]["weight"]).T))
+        fc.bias.copy_(torch.tensor(np.array(p["fc"]["bias"])))
+
+    import torch.nn.functional as TF
+
+    xt = torch.tensor(x)
+    row, col = [], []
+    for i in range(F_ - 1):
+        for j in range(i + 1, F_):
+            row.append(i), col.append(j)
+    inner = xt[:, row] * xt[:, col]
+    scores = TF.softmax(proj(TF.relu(attn(inner))), dim=1)
+    want = fc(torch.sum(scores * inner, dim=1)).detach().numpy()
+
+    got = np.array(ours.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, atol=2e-6)
