@@ -144,3 +144,24 @@ def test_device_resident_epoch_matches_host_path(data):
     ev_h = tr_host.evaluate(data.valid[0], data.valid[1])
     # params equal to 2e-6 -> AUC essentially identical
     assert ev_d["total_auc"] == pytest.approx(ev_h["total_auc"], abs=2e-3)
+
+
+def test_fit_reproducible_same_seed(data):
+    """Two Trainer runs with the same seed produce bit-identical parameters
+    and metrics (full determinism: init, shuffle schedule, dropout bits)."""
+    import jax
+
+    outs, params = [], []
+    for _ in range(2):
+        cfg = _cfg("mmoe", epoch=1)
+        tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain))
+        out = tr.fit(data.train, data.valid,
+                     domain_cnt_weight=data.domain_cnt_weight())
+        outs.append(out["valid"]["total_auc"])
+        params.append(jax.tree_util.tree_map(np.asarray, tr.state.params))
+    assert outs[0] == outs[1]
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params[0]),
+            jax.tree_util.tree_leaves_with_path(params[1])):
+        np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))
