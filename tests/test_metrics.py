@@ -87,3 +87,42 @@ def test_streaming_auc_per_domain(rng):
     for dom in range(n_domain):
         m = d == dom
         assert approx[dom] == pytest.approx(auc_score(y[m], p[m]), abs=2e-4)
+
+
+def test_streaming_eval_result_single_class_domain_nans_both_metrics():
+    """A single-class domain NaNs BOTH auc and loss (matching
+    evaluate_multi_domain's try/except), and poisons the weighted means."""
+    from tpurec.metrics import streaming_eval_result
+
+    pos = np.zeros((2, 4))
+    neg = np.zeros((2, 4))
+    pos[0, 1], neg[0, 2] = 5, 5   # domain 0: both classes
+    pos[1, 3] = 7                 # domain 1: positives only
+    lsum = np.array([2.0, 3.0])
+    lcnt = np.array([10.0, 7.0])
+    r = streaming_eval_result(pos, neg, lsum, lcnt, np.array([0.5, 0.5]))
+    assert np.isfinite(r["domain_auc"][0]) and np.isfinite(r["domain_loss"][0])
+    assert np.isnan(r["domain_auc"][1]) and np.isnan(r["domain_loss"][1])
+    assert np.isnan(r["mean_auc"]) and np.isnan(r["mean_loss"])
+
+
+def test_host_hist_accumulator_flush_equivalence():
+    """Frequent f64 host flushes and one final flush give identical totals
+    (the machinery that keeps counts exact past f32's 2^24 bound)."""
+    import jax.numpy as jnp
+
+    from tpurec.train.step import HostHistAccumulator, hist_init
+
+    def init():
+        return hist_init(2, 4)
+
+    rng = np.random.default_rng(0)
+    adds = [tuple(rng.random(np.shape(c)).astype(np.float32) for c in init())
+            for _ in range(7)]
+    accs = [HostHistAccumulator(init, flush_every=1),
+            HostHistAccumulator(init, flush_every=1000)]
+    for add in adds:
+        for a in accs:
+            a.update(tuple(c + jnp.asarray(d) for c, d in zip(a.carry, add)))
+    for t1, t2 in zip(accs[0].totals(), accs[1].totals()):
+        np.testing.assert_allclose(t1, t2, rtol=1e-6)

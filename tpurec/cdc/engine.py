@@ -24,7 +24,6 @@ TPU:
 from __future__ import annotations
 
 import functools
-import math
 import os
 import time
 from functools import partial
@@ -399,8 +398,9 @@ class CDCTrainer:
             ever crosses to host; see train.step.make_streaming_eval_scan
             for the formulation notes)."""
 
+            from tpurec.train.step import hist_update
+
             def body(carry, xym):
-                pos, neg, lsum, lcnt = carry
                 x, y, mask = xym
                 x = shard_rows(x)
                 with _precision_scope(cfg.train.compute_dtype):
@@ -409,17 +409,7 @@ class CDCTrainer:
                 dom = x[:, domain_idx].astype(jnp.int32)
                 groups = domain2group[dom]
                 logit = jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0]
-                p = jax.nn.sigmoid(logit)
-                flat = dom * n_bins + (
-                    jnp.clip(p, 0.0, 1.0 - 1e-7) * n_bins).astype(jnp.int32)
-                pos = pos.at[flat].add(mask * y)
-                neg = neg.at[flat].add(mask * (1.0 - y))
-                ll = (y * jax.nn.softplus(-logit)
-                      + (1.0 - y) * jax.nn.softplus(logit))
-                ll = jnp.minimum(ll, -math.log(1e-15))
-                lsum = lsum.at[dom].add(mask * ll)
-                lcnt = lcnt.at[dom].add(mask)
-                return (pos, neg, lsum, lcnt), None
+                return hist_update(carry, dom, logit, y, mask, n_bins), None
 
             carry, _ = jax.lax.scan(
                 body, (pos, neg, lsum, lcnt), (xs, ys, masks))
@@ -940,24 +930,34 @@ class CDCTrainer:
         return total
 
     # ------------------------------------------------------------------
-    def evaluate(self, batcher: DomainBatcher) -> Dict:
-        """Split-mode eval (run.py:653-661).  Rows are routed per-row by
-        domain2group inside predict, so flat [bs] batches over the whole
-        split suffice; per-domain grouping happens host-side in metrics."""
+    def _padded_split(self, batcher: DomainBatcher):
+        """Concatenated eval split, zero-padded to a chunk-aligned batch
+        count (shared staging of evaluate / evaluate_streaming: padding
+        rows are discarded or masked out, and a ragged tail would force a
+        second scan compile.  The chunk adapts down for small splits so
+        padding waste stays <2x).  Returns (X, y, Xp, yp, mp, n, nb, CH)."""
         bs = self.cfg.train.bs
         X = np.concatenate(batcher.dom_X, axis=0)
-        y = np.concatenate(batcher.dom_y, axis=0)
-        doms = X[:, self.domain_idx]
+        y = np.concatenate(batcher.dom_y, axis=0).astype(np.float32)
         n = len(y)
-        # batches per dispatch (one upload + one fetch each); padded to a
-        # chunk multiple — padding predictions are discarded, and ragged
-        # tails would force a second scan compile.  Chunk adapts down for
-        # small splits so padding waste stays <2x.
         nb = -(-n // bs)
         CH = min(128, nb)
         nb = -(-nb // CH) * CH
         Xp = np.zeros((nb * bs, X.shape[1]), X.dtype)
         Xp[:n] = X
+        yp = np.zeros(nb * bs, np.float32)
+        yp[:n] = y
+        mp = np.zeros(nb * bs, np.float32)
+        mp[:n] = 1.0
+        return X, y, Xp, yp, mp, n, nb, CH
+
+    def evaluate(self, batcher: DomainBatcher) -> Dict:
+        """Split-mode eval (run.py:653-661).  Rows are routed per-row by
+        domain2group inside predict, so flat [bs] batches over the whole
+        split suffice; per-domain grouping happens host-side in metrics."""
+        bs = self.cfg.train.bs
+        X, y, Xp, _, _, n, nb, CH = self._padded_split(batcher)
+        doms = X[:, self.domain_idx]
         preds = []
         for b0 in range(0, nb, CH):
             k = CH
@@ -982,35 +982,22 @@ class CDCTrainer:
         AUC histograms + capped BCE sums accumulate on device (see
         Trainer.evaluate_streaming); same result keys as :meth:`evaluate`,
         AUC within O(1/_HIST_BINS) of it."""
+        from tpurec.train.step import HostHistAccumulator, hist_init
+
         bs = self.cfg.train.bs
         n_bins = self._HIST_BINS
-        X = np.concatenate(batcher.dom_X, axis=0)
-        y = np.concatenate(batcher.dom_y, axis=0).astype(np.float32)
-        n = len(y)
-        nb = -(-n // bs)
-        CH = min(128, nb)
-        nb = -(-nb // CH) * CH
-        Xp = np.zeros((nb * bs, X.shape[1]), X.dtype)
-        Xp[:n] = X
-        yp = np.zeros(nb * bs, np.float32)
-        yp[:n] = y
-        mp = np.zeros(nb * bs, np.float32)
-        mp[:n] = 1.0
-        carry = (
-            jnp.zeros((self.n_domain * n_bins,), jnp.float32),
-            jnp.zeros((self.n_domain * n_bins,), jnp.float32),
-            jnp.zeros((self.n_domain,), jnp.float32),
-            jnp.zeros((self.n_domain,), jnp.float32),
-        )
+        _, _, Xp, yp, mp, n, nb, CH = self._padded_split(batcher)
+        acc = HostHistAccumulator(
+            partial(hist_init, self.n_domain, n_bins))
         for b0 in range(0, nb, CH):
             s = slice(b0 * bs, (b0 + CH) * bs)
-            carry = self._predict_split_hist_scan(
+            acc.update(self._predict_split_hist_scan(
                 self.state.params, self.state.model_state,
                 jnp.asarray(Xp[s].reshape(CH, bs, -1), jnp.int32),
                 jnp.asarray(yp[s].reshape(CH, bs)),
                 jnp.asarray(mp[s].reshape(CH, bs)),
-                self.domain2group_dev, *carry)
-        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+                self.domain2group_dev, *acc.carry))
+        pos, neg, lsum, lcnt = acc.totals()
         return streaming_eval_result(
             pos.reshape(self.n_domain, n_bins),
             neg.reshape(self.n_domain, n_bins), lsum, lcnt,

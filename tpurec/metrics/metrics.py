@@ -160,6 +160,11 @@ def streaming_eval_result(pos, neg, lsum, lcnt, domain_cnt_weight=None) -> Dict:
     with np.errstate(invalid="ignore", divide="ignore"):
         dom_auc = streaming_auc_from_bins(pos, neg)
         dom_loss = lsum / lcnt
+    # evaluate_multi_domain's try/except NaNs BOTH metrics when auc_score
+    # raises on a single-class domain (metrics.py:80-83) — mirror that so
+    # mean_loss agrees between the exact and streaming evals
+    single_class = (pos.sum(axis=1) == 0) | (neg.sum(axis=1) == 0)
+    dom_loss = np.where(single_class, np.nan, dom_loss)
     tot = streaming_auc_from_bins(
         pos.sum(axis=0, keepdims=True), neg.sum(axis=0, keepdims=True))
     result = {

@@ -510,19 +510,23 @@ class Trainer:
                 self.n_domain, n_bins, self.cfg.train.compute_dtype)
         scan_hist, init_carry = cache[key]
 
+        from tpurec.train.step import HostHistAccumulator
+
         n = X.shape[0]
-        carry = init_carry()
+        # device-side f32 carries flush into f64 host totals periodically so
+        # counts stay exact at any eval-split size (f32 alone saturates at
+        # 2^24 rows per accumulator cell)
+        acc = HostHistAccumulator(init_carry)
 
         def run_window(Xdev, ydev, d2g, n_rows):
-            nonlocal carry
             idx, mask, ch = self._padded_index_batches(n_rows, bs, self.EVAL_CHUNK)
             for b0 in range(0, idx.shape[0], ch):
-                carry = scan_hist(
+                acc.update(scan_hist(
                     self.state.params, self.state.model_state, Xdev, ydev,
                     d2g,
                     (jnp.asarray(idx[b0:b0 + ch]),
                      jnp.asarray(mask[b0:b0 + ch])),
-                    *carry)
+                    *acc.carry))
 
         if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
             Xdev, ydev, d2g = self._device_dataset(X, y)
@@ -546,7 +550,7 @@ class Trainer:
                         [Xw, np.zeros((W - nw, X.shape[1]), np.int32)])
                     yw = np.concatenate([yw, np.zeros(W - nw, np.float32)])
                 run_window(jnp.asarray(Xw), jnp.asarray(yw), d2g, nw)
-        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+        pos, neg, lsum, lcnt = acc.totals()
         return streaming_eval_result(
             pos.reshape(self.n_domain, n_bins),
             neg.reshape(self.n_domain, n_bins), lsum, lcnt,
@@ -579,9 +583,15 @@ class Trainer:
                 self.n_domain, n_bins, self.cfg.train.compute_dtype)
         hist_scan, init_carry = cache[n_bins]
 
+        from tpurec.train.step import HostHistAccumulator
+
         feed = GlobalBatchFeed(self.mesh, self.cfg.mesh.data_axis)
         nb, bs_local = epoch_plan(n_global_rows, bs, feed)
         K = self.EVAL_CHUNK
+        # pad the GLOBAL batch count to a chunk multiple with masked filler
+        # (a ragged final chunk would force a second scan compile; nb is
+        # globally agreed so every process pads identically)
+        nb_pad = -(-nb // min(K, nb)) * min(K, nb)
         batcher = ArrayBatcher(
             X_local, y_local, bs_local, group=self._group_of(X_local),
             shuffle=False,
@@ -600,30 +610,37 @@ class Trainer:
             if batcher is not None:
                 for b in batcher:
                     if produced == nb:
-                        break
+                        # unlike the TRAIN epoch (where surplus rows wait for
+                        # the next reshuffle), eval has no next pass — rows
+                        # silently dropped here would skew every process's
+                        # result, so refuse instead
+                        raise ValueError(
+                            f"X_local has more rows than this process's "
+                            f"share of the {n_global_rows}-row global eval "
+                            f"({nb} global batches x {bs_local} local rows)")
                     produced += 1
                     yield b
-            while produced < nb:
+            while produced < nb_pad:
                 produced += 1
                 yield filler
 
-        carry = jax.device_put(
-            init_carry(), self.shardings.replicated()
-            if self.shardings is not None else None)
+        acc = HostHistAccumulator(
+            init_carry,
+            placement=(self.shardings.replicated()
+                       if self.shardings is not None else None))
         pending = []
-        done = 0
         for batch in local_stream():
             pending.append(batch)
-            if len(pending) < K and done + len(pending) < nb:
+            if len(pending) < min(K, nb_pad):
                 continue
             stacked = {k: np.stack([b[k] for b in pending])
                        for k in pending[0]}
             gb = feed.global_stacked_batch(stacked, bs)
-            carry = hist_scan(
-                self.state.params, self.state.model_state, *carry, gb)
-            done += len(pending)
+            acc.update(hist_scan(
+                self.state.params, self.state.model_state, *acc.carry, gb))
             pending = []
-        pos, neg, lsum, lcnt = (np.asarray(c) for c in carry)
+        assert not pending, "nb_pad must be a chunk multiple"
+        pos, neg, lsum, lcnt = acc.totals()
         return streaming_eval_result(
             pos.reshape(self.n_domain, n_bins),
             neg.reshape(self.n_domain, n_bins), lsum, lcnt,

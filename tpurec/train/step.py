@@ -200,22 +200,101 @@ def make_indexed_eval_scan(model, multi_tower: bool, domain_idx: int,
     return eval_scan
 
 
+def hist_init(n_domain: int, n_bins: int):
+    """Zeroed streaming-eval accumulators: per-(domain, bin) pos/neg score
+    histograms (flattened) + per-domain log-loss sums and row counts."""
+    return (
+        jnp.zeros((n_domain * n_bins,), jnp.float32),
+        jnp.zeros((n_domain * n_bins,), jnp.float32),
+        jnp.zeros((n_domain,), jnp.float32),
+        jnp.zeros((n_domain,), jnp.float32),
+    )
+
+
+def hist_update(carry, dom, logit, y, mask, n_bins: int):
+    """One masked batch into the streaming-eval accumulators.
+
+    - AUC histograms: predictions binned at floor(clip(p, 0, 1-1e-7)*n_bins).
+    - LogLoss in LOGIT space: y*softplus(-l) + (1-y)*softplus(l) — finite for
+      every finite logit (a p-space clip at 1-1e-15 is a no-op in f32, and
+      log(1-p) then yields inf / 0*inf=NaN on saturated predictions); capped
+      at -log(1e-15) to keep metrics.log_loss_score's per-sample bound.
+
+    f32 accumulators are exact while they hold < 2^24; callers bound that by
+    flushing to host-side f64 totals periodically (HostHistAccumulator).
+    """
+    pos, neg, lsum, lcnt = carry
+    p = jax.nn.sigmoid(logit)
+    flat = dom * n_bins + (
+        jnp.clip(p, 0.0, 1.0 - 1e-7) * n_bins).astype(jnp.int32)
+    pos = pos.at[flat].add(mask * y)
+    neg = neg.at[flat].add(mask * (1.0 - y))
+    ll = y * jax.nn.softplus(-logit) + (1.0 - y) * jax.nn.softplus(logit)
+    ll = jnp.minimum(ll, -math.log(1e-15))
+    lsum = lsum.at[dom].add(mask * ll)
+    lcnt = lcnt.at[dom].add(mask)
+    return (pos, neg, lsum, lcnt)
+
+
+class HostHistAccumulator:
+    """Exact streaming-eval totals: f32 accumulators on device, f64 on host.
+
+    The device carry is donated through every eval dispatch; after
+    ``flush_every`` dispatches (default: 128 dispatches x <=128 batches x bs
+    rows — well under the 2^24 f32-exactness bound even if every row of a
+    flush lands in ONE (domain, bin) cell) the carry is fetched, added into
+    float64 host totals, and reset, so counts never saturate regardless of
+    eval-split size."""
+
+    def __init__(self, init_fn, flush_every: int = 128, placement=None):
+        self._init = init_fn
+        self._flush_every = flush_every
+        self._placement = placement
+        self._since_flush = 0
+        self._totals = None
+        self.carry = self._fresh()
+
+    def _fresh(self):
+        c = self._init()
+        if self._placement is not None:
+            c = jax.device_put(c, self._placement)
+        return c
+
+    def update(self, carry):
+        self.carry = carry
+        self._since_flush += 1
+        if self._since_flush >= self._flush_every:
+            self._flush()
+
+    def _flush(self):
+        import numpy as np
+
+        parts = tuple(np.asarray(c, dtype=np.float64) for c in self.carry)
+        if self._totals is None:
+            self._totals = list(parts)
+        else:
+            for t, p in zip(self._totals, parts):
+                t += p
+        self.carry = self._fresh()
+        self._since_flush = 0
+
+    def totals(self):
+        self._flush()
+        return tuple(self._totals)
+
+
 def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
                              n_domain: int, n_bins: int = 8192,
                              compute_dtype: str = "float32"):
     """Device-resident eval that never hauls predictions to host
     (SURVEY.md §7 hard part 5).
 
-    Accumulates per-(domain, score-bin) positive/negative histograms and
-    per-domain log-loss sums ON DEVICE across [K, bs] index batches; the
-    host only ever fetches [n_domain, n_bins] x 2 + [n_domain] x 2 at the
-    end of eval (streaming_auc_from_bins turns the histograms into AUC with
-    O(1/n_bins) error — the reference hauls every prediction to host and
-    runs sklearn, run.py:659-688).  Carries are donated so chunked eval
-    accumulates in place across dispatches.
-
-    f32 counts are exact up to 2^24 rows per (domain, bin); beyond that the
-    histogram saturates adds — far past any per-domain eval split here.
+    Accumulates the :func:`hist_update` statistics ON DEVICE across [K, bs]
+    index batches; the host only ever fetches [n_domain, n_bins] x 2 +
+    [n_domain] x 2 per accumulator flush (streaming_auc_from_bins turns the
+    histograms into AUC with O(1/n_bins) error — the reference hauls every
+    prediction to host and runs sklearn, run.py:659-688).  Carries are
+    donated so chunked eval accumulates in place across dispatches.
     """
 
     @functools.partial(jax.jit, donate_argnums=(6, 7, 8, 9))
@@ -224,7 +303,6 @@ def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
         idxs, masks = idx_mask
 
         def body(carry, xm):
-            pos, neg, lsum, lcnt = carry
             idx, mask = xm
             x = jnp.take(Xdev, idx, axis=0)
             y = jnp.take(ydev, idx, axis=0).astype(jnp.float32)
@@ -236,34 +314,12 @@ def make_streaming_eval_scan(model, multi_tower: bool, domain_idx: int,
                     train=False,
                 )
             logit = select_tower(out, group) if multi_tower else out
-            p = jax.nn.sigmoid(logit)
-            pc = jnp.clip(p, 0.0, 1.0 - 1e-7)
-            flat = dom * n_bins + (pc * n_bins).astype(jnp.int32)
-            pos = pos.at[flat].add(mask * y)
-            neg = neg.at[flat].add(mask * (1.0 - y))
-            # BCE in logit space: y*softplus(-l) + (1-y)*softplus(l) — finite
-            # for every finite logit (a p-space clip at 1-1e-15 is a no-op in
-            # f32, and log(1-p) then yields inf / 0*inf=NaN on saturated
-            # predictions).  Capped at -log(1e-15) to keep the sklearn-style
-            # per-sample bound of metrics.log_loss_score.
-            ll = y * jax.nn.softplus(-logit) + (1.0 - y) * jax.nn.softplus(logit)
-            ll = jnp.minimum(ll, -math.log(1e-15))
-            lsum = lsum.at[dom].add(mask * ll)
-            lcnt = lcnt.at[dom].add(mask)
-            return (pos, neg, lsum, lcnt), None
+            return hist_update(carry, dom, logit, y, mask, n_bins), None
 
         carry, _ = jax.lax.scan(body, (pos, neg, lsum, lcnt), (idxs, masks))
         return carry
 
-    def init_carry():
-        return (
-            jnp.zeros((n_domain * n_bins,), jnp.float32),
-            jnp.zeros((n_domain * n_bins,), jnp.float32),
-            jnp.zeros((n_domain,), jnp.float32),
-            jnp.zeros((n_domain,), jnp.float32),
-        )
-
-    return eval_scan_hist, init_carry
+    return eval_scan_hist, functools.partial(hist_init, n_domain, n_bins)
 
 
 def make_streaming_eval_batch_scan(model, multi_tower: bool, domain_idx: int,
@@ -279,10 +335,8 @@ def make_streaming_eval_batch_scan(model, multi_tower: bool, domain_idx: int,
     @functools.partial(jax.jit, donate_argnums=(2, 3, 4, 5))
     def hist_scan(params, model_state, pos, neg, lsum, lcnt, batches):
         def body(carry, b):
-            pos, neg, lsum, lcnt = carry
             x = b["x"].astype(jnp.int32)
             y = b["y"].astype(jnp.float32)
-            mask = b["mask"]
             dom = x[:, domain_idx].astype(jnp.int32)
             with _precision_scope(compute_dtype):
                 out = model.apply(
@@ -290,30 +344,12 @@ def make_streaming_eval_batch_scan(model, multi_tower: bool, domain_idx: int,
                     group=b.get("group"), train=False,
                 )
             logit = select_tower(out, b["group"]) if multi_tower else out
-            p = jax.nn.sigmoid(logit)
-            flat = dom * n_bins + (
-                jnp.clip(p, 0.0, 1.0 - 1e-7) * n_bins).astype(jnp.int32)
-            pos = pos.at[flat].add(mask * y)
-            neg = neg.at[flat].add(mask * (1.0 - y))
-            ll = (y * jax.nn.softplus(-logit)
-                  + (1.0 - y) * jax.nn.softplus(logit))
-            ll = jnp.minimum(ll, -math.log(1e-15))
-            lsum = lsum.at[dom].add(mask * ll)
-            lcnt = lcnt.at[dom].add(mask)
-            return (pos, neg, lsum, lcnt), None
+            return hist_update(carry, dom, logit, y, b["mask"], n_bins), None
 
         carry, _ = jax.lax.scan(body, (pos, neg, lsum, lcnt), batches)
         return carry
 
-    def init_carry():
-        return (
-            jnp.zeros((n_domain * n_bins,), jnp.float32),
-            jnp.zeros((n_domain * n_bins,), jnp.float32),
-            jnp.zeros((n_domain,), jnp.float32),
-            jnp.zeros((n_domain,), jnp.float32),
-        )
-
-    return hist_scan, init_carry
+    return hist_scan, functools.partial(hist_init, n_domain, n_bins)
 
 
 def make_eval_step(model, multi_tower: bool, compute_dtype: str = "float32"):
