@@ -223,3 +223,37 @@ def test_summarize_splits(rng):
     assert abs(sum(stats["split_fractions"].values()) - 1.0) < 1e-9
     assert len(stats["domain_counts"]) == 4
     assert 0 <= stats["user_overlap"]["valid_in_train"]["frac"] <= 1
+
+
+def test_hash_trick_deterministic_and_uniform():
+    """Feature hashing: numpy/jax bit-identical, in-range, roughly uniform,
+    and stable across runs; apply_hash_trick rewrites dims."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpurec.data.hashing import apply_hash_trick, hash_ids
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 2**31 - 1, size=20000)
+    nb = 1024
+    h_np = hash_ids(ids, nb, salt=7)
+    h_jx = np.asarray(jax.jit(
+        lambda x: hash_ids(x, nb, salt=7))(jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_array_equal(h_np, h_jx.astype(np.int64))
+    assert h_np.min() >= 0 and h_np.max() < nb
+    counts = np.bincount(h_np, minlength=nb)
+    # uniformity: no bucket wildly over/under-represented (exp ~19.5)
+    assert counts.max() < 60 and (counts == 0).sum() < nb // 10
+    # different salts decorrelate
+    assert (hash_ids(ids, nb, salt=8) != h_np).mean() > 0.9
+
+    X = np.stack([ids % 50, ids, ids % 7], axis=1)
+    X2, dims2 = apply_hash_trick(X, (50, 2**31 - 1, 7), {1: nb})
+    assert dims2 == (50, nb, 7)
+    np.testing.assert_array_equal(X2[:, 0], X[:, 0])
+    np.testing.assert_array_equal(X2[:, 1], hash_ids(ids, nb, salt=1))
+    # unseen/out-of-vocabulary ids still land in range (serving safety)
+    huge = np.array([[3, 2**31 - 5, 2]])
+    Xh, _ = apply_hash_trick(huge, (50, 2**31 - 1, 7), {1: nb})
+    assert 0 <= Xh[0, 1] < nb
