@@ -45,6 +45,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embed_dim", type=int, default=16)
     # None = reference N(0,1) embedding init (layer.py:140)
     p.add_argument("--embed_init_std", type=float, default=None)
+    # feature hashing, e.g. --hash_buckets '{9: 100000}' (field idx -> buckets)
+    p.add_argument("--hash_buckets", default=None)
     p.add_argument("--prepare2train_month", type=int, default=12)
     p.add_argument("--group_strategy", default="mix")
     p.add_argument("--domain_filter", default=None,
@@ -212,6 +214,22 @@ def main(argv=None):
         field_dims = tuple(
             n_domain if i == domain_idx else d for i, d in enumerate(field_dims)
         )
+
+    if args.hash_buckets:
+        # feature hashing (tpurec.data.hashing): cap selected fields'
+        # vocabularies at fixed bucket counts
+        from tpurec.data import apply_hash_trick
+
+        buckets = {int(k): int(v) for k, v in
+                   __import__("ast").literal_eval(args.hash_buckets).items()}
+        if domain_idx in buckets:
+            raise SystemExit("--hash_buckets must not hash the domain field")
+        new = []
+        for X, y in (train, valid, test):
+            X2, dims2 = apply_hash_trick(X, field_dims, buckets)
+            new.append((X2, y))
+        train, valid, test = new
+        field_dims = dims2
 
     from tpurec.utils.logging import JsonlLogger
 
