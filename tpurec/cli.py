@@ -47,6 +47,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--embed_init_std", type=float, default=None)
     # feature hashing, e.g. --hash_buckets '{9: 100000}' (field idx -> buckets)
     p.add_argument("--hash_buckets", default=None)
+    # directory for the final best-model checkpoint ('' disables saving)
+    p.add_argument("--save_path", default="save")
     p.add_argument("--prepare2train_month", type=int, default=12)
     p.add_argument("--group_strategy", default="mix")
     p.add_argument("--domain_filter", default=None,
@@ -291,6 +293,18 @@ def main(argv=None):
         if args.resume:
             tr.load_checkpoint(args.resume)
         out = tr.fit(train, valid, test=test, log_fn=logger)
+
+    # persist the best model (fit already reloaded it) as a self-describing
+    # checkpoint so `python -m tpurec.serve --ckpt ...` needs nothing else
+    # (the reference saves on every improvement, run.py:447-459; one final
+    # save of the reloaded best is equivalent and avoids N stale files)
+    if args.save_path:
+        os.makedirs(args.save_path, exist_ok=True)
+        ckpt = os.path.join(
+            args.save_path,
+            f"{cfg.model.model}_{cfg.data.dataset_name}_seed{cfg.train.seed}.pkl")
+        tr.save_checkpoint(ckpt, extra={"result": _jsonable(out)})
+        out["checkpoint"] = ckpt
 
     print(json.dumps(_jsonable(out), default=str))
     return out
