@@ -29,14 +29,29 @@ def test_build_config_roundtrip():
     assert cfg.train.lr == 0.01
 
 
-def test_cli_end_to_end_with_domain_filter(capsys):
+def test_cli_end_to_end_with_domain_filter(capsys, tmp_path):
     out = main([
         "--model", "deepfm", "--dataset_name", "synthetic",
         "--n_rows", "4000", "--n_domain", "5", "--epoch", "1",
         "--bs", "256", "--is_set_seed", "1", "--seed", "3",
         "--embed_dim", "8", "--domain_filter", "[0,2,4]",
+        "--save_path", str(tmp_path / "ck"),
     ])
     assert "valid" in out and "test" in out
     assert np.isfinite(out["valid"]["total_auc"])
     # only the 3 kept (re-encoded) domains appear in per-domain metrics
     assert set(out["valid"]["domain_auc"].keys()) <= {0, 1, 2}
+    # the best model was persisted as a servable self-describing checkpoint
+    import os
+
+    from tpurec.serve import predictor_from_checkpoint
+
+    assert os.path.exists(out["checkpoint"])
+    pred = predictor_from_checkpoint(out["checkpoint"], batch_sizes=(64,))
+    import pickle
+
+    fd = pickle.load(open(out["checkpoint"], "rb"))["field_dims"]
+    rng = np.random.default_rng(0)
+    X = np.stack([rng.integers(0, d, 30) for d in fd], 1).astype(np.int32)
+    p = pred(X)
+    assert p.shape == (30,) and np.all((p >= 0) & (p <= 1))
