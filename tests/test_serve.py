@@ -240,3 +240,40 @@ def test_predictor_serves_extension_models(tmp_path, data):
             jnp.asarray(X), train=False)
         want = np.asarray(jax.nn.sigmoid(out))
         np.testing.assert_allclose(pred(X), want, rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_applies_checkpoint_hash_spec(tmp_path, data):
+    """A hash-trained checkpoint serves RAW ids: the Predictor applies the
+    config's hash spec exactly like the training load path, so huge/unseen
+    request ids are bucketed instead of indexing out of range."""
+    import dataclasses
+
+    from tpurec.data.hashing import apply_hash_trick, hash_ids
+    from tpurec.serve import predictor_from_checkpoint
+
+    buckets = ((0, 16), (1, 8))
+    cfg = _cfg("mmoe")
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, hash_buckets=buckets))
+    Xtr, ytr = data.train
+    Xtr2, dims2 = apply_hash_trick(Xtr, data.field_dims, dict(buckets))
+    Xva2, _ = apply_hash_trick(data.valid[0], data.field_dims, dict(buckets))
+    tr = Trainer(cfg, dims2, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    tr.fit((Xtr2, ytr), (Xva2, data.valid[1]),
+           domain_cnt_weight=data.domain_cnt_weight())
+    path = str(tmp_path / "hashed.pkl")
+    tr.save_checkpoint(path)
+
+    pred = predictor_from_checkpoint(path, batch_sizes=(512,))
+    rng = np.random.default_rng(3)
+    X_raw = np.stack(
+        [rng.integers(0, 2**30 if f in (0, 1) else dims2[f], 200)
+         for f in range(len(dims2))], 1).astype(np.int64)
+    p_raw = pred(X_raw)
+    # oracle: hash manually, bypass the predictor's spec
+    Xh = X_raw.copy()
+    Xh[:, 0] = hash_ids(X_raw[:, 0], 16, salt=0)
+    Xh[:, 1] = hash_ids(X_raw[:, 1], 8, salt=1)
+    pred.hash_buckets = {}
+    np.testing.assert_array_equal(p_raw, pred(Xh.astype(np.int32)))

@@ -130,6 +130,12 @@ def build_config(args: argparse.Namespace) -> Config:
                 tuple(__import__("ast").literal_eval(args.domain_filter))
                 if args.domain_filter else None
             ),
+            hash_buckets=(
+                tuple(sorted(
+                    (int(k), int(v)) for k, v in
+                    __import__("ast").literal_eval(args.hash_buckets).items()))
+                if args.hash_buckets else None
+            ),
         ),
         mesh=MeshConfig(
             n_data=max(args.mesh_data, 1), n_model=max(args.mesh_model, 1),
@@ -217,13 +223,13 @@ def main(argv=None):
             n_domain if i == domain_idx else d for i, d in enumerate(field_dims)
         )
 
-    if args.hash_buckets:
+    if cfg.data.hash_buckets:
         # feature hashing (tpurec.data.hashing): cap selected fields'
-        # vocabularies at fixed bucket counts
+        # vocabularies at fixed bucket counts.  The spec rides in cfg (and
+        # therefore in checkpoints) so serving hashes raw ids identically.
         from tpurec.data import apply_hash_trick
 
-        buckets = {int(k): int(v) for k, v in
-                   __import__("ast").literal_eval(args.hash_buckets).items()}
+        buckets = dict(cfg.data.hash_buckets)
         if domain_idx in buckets:
             raise SystemExit("--hash_buckets must not hash the domain field")
         new = []

@@ -224,6 +224,10 @@ class DataConfig:
     group_strategy: str = "mix"               # main.py:27
     prepare2train_month: int = 12             # main.py:26
     domain_filter: Optional[Tuple[int, ...]] = None
+    # feature hashing applied on the load path: ((field_idx, n_buckets), ...)
+    # — carried in checkpoints so serving hashes raw ids identically
+    # (tpurec.data.hashing; salt = field index)
+    hash_buckets: Optional[Tuple[Tuple[int, int], ...]] = None
 
 
 @dataclass(frozen=True)

@@ -118,6 +118,10 @@ class Predictor:
                 n_tower = int(np.max(domain2group)) + 1
         self.model_name = name
         self.domain2group = np.asarray(domain2group, np.int32)
+        # feature-hashing spec from the training config: raw request ids on
+        # hashed fields are bucketed exactly like the training load path
+        # (tpurec.data.hashing, salt = field index)
+        self.hash_buckets = dict(cfg.data.hash_buckets or ())
         self.model = build_model(name, self.field_dims, n_tower,
                                  domain_idx, mcfg)
         self.multi_tower = (name in MULTI_TOWER_OUTPUT
@@ -240,6 +244,12 @@ class Predictor:
         if self._qtable is None:
             raise RuntimeError("load_variables/load_checkpoint first")
         X = np.asarray(X)
+        if self.hash_buckets:
+            from tpurec.data.hashing import hash_ids
+
+            X = X.astype(np.int64, copy=True)
+            for f, nb in self.hash_buckets.items():
+                X[:, f] = hash_ids(X[:, f], nb, salt=f)
         n = X.shape[0]
         bs = self.batch_sizes[-1]
         out = np.empty((n,), np.float32)
