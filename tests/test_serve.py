@@ -277,3 +277,52 @@ def test_predictor_applies_checkpoint_hash_spec(tmp_path, data):
     Xh[:, 1] = hash_ids(X_raw[:, 1], 8, salt=1)
     pred.hash_buckets = {}
     np.testing.assert_array_equal(p_raw, pred(Xh.astype(np.int32)))
+
+
+def test_http_server_predict_and_health(data, trained):
+    """tpurec.server: /predict returns the Predictor's probabilities over
+    HTTP, /healthz reports status, malformed requests get 400."""
+    import json
+    import threading
+    import urllib.request
+
+    from tpurec.server import make_server
+
+    cfg, tr = trained
+    pred = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain),
+                     batch_sizes=(64,)).load_from_trainer(tr)
+    srv = make_server(pred, port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        rng = np.random.default_rng(0)
+        X = np.stack([rng.integers(0, d, 10) for d in data.field_dims],
+                     1).astype(int)
+        body = json.dumps({"instances": X.tolist()}).encode()
+        req = urllib.request.Request(base + "/predict", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        np.testing.assert_allclose(
+            np.asarray(out["predictions"], np.float32),
+            pred(X.astype(np.int32)), atol=1e-6)
+        assert out["latency_ms"] > 0
+
+        with urllib.request.urlopen(base + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["n_requests"] == 1 \
+            and h["n_rows"] == 10
+
+        bad = urllib.request.Request(
+            base + "/predict", data=b'{"instances": [[1, 2]]}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()

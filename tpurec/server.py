@@ -1,0 +1,121 @@
+"""HTTP serving host on top of :class:`tpurec.serve.Predictor`.
+
+The reference has no serving story at all (inference there is the eval
+loop, run.py:647-688); tpurec's Predictor is the AOT-compiled scoring
+engine and this module is the network-facing layer:
+
+- ``POST /predict`` — body ``{"instances": [[...field ids...], ...]}`` →
+  ``{"predictions": [...], "latency_ms": ...}``.  Raw ids are accepted:
+  the Predictor applies the checkpoint's feature-hash spec when present.
+- ``GET /healthz`` — liveness + model/schema info + request counters.
+
+Threaded stdlib server: requests are parsed/serialized concurrently while
+scoring itself serializes through a lock (one XLA executable, one device
+— concurrent dispatch would interleave on the same chip anyway; batching
+inside one request is the throughput lever, see scripts/bench_serve.py).
+
+    python -m tpurec.server --ckpt save/mmoe_synthetic_seed7.pkl \
+        --port 8080 --table_dtype bfloat16 --bs 4096
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
+                model_name: str = "") -> ThreadingHTTPServer:
+    """Build (not start) a ThreadingHTTPServer wired to ``predictor``.
+
+    Call ``.serve_forever()`` (blocking) or drive it from a thread; the
+    bound port is ``server.server_address[1]`` (useful with port=0).
+    """
+    lock = threading.Lock()
+    stats = {"n_requests": 0, "n_rows": 0}
+    n_fields = len(predictor.field_dims)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            self._reply(200, {
+                "status": "ok",
+                "model": model_name or predictor.model_name,
+                "n_fields": n_fields,
+                "table_dtype": predictor.table_dtype,
+                "hash_fields": sorted(predictor.hash_buckets),
+                **stats,
+            })
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._reply(404, {"error": f"unknown path {self.path}"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length))
+                inst = payload["instances"]
+                X = np.asarray(inst, dtype=np.int64)
+                if X.ndim != 2 or X.shape[1] != n_fields:
+                    raise ValueError(
+                        f"instances must be [N, {n_fields}] ints, "
+                        f"got shape {X.shape}")
+            except Exception as e:  # malformed request -> 400, not a crash
+                return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+            try:
+                t0 = time.perf_counter()
+                with lock:
+                    probs = predictor(X)
+                ms = (time.perf_counter() - t0) * 1e3
+                stats["n_requests"] += 1
+                stats["n_rows"] += len(probs)
+                self._reply(200, {
+                    "predictions": [float(p) for p in probs],
+                    "latency_ms": round(ms, 3),
+                })
+            except Exception as e:
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    from tpurec.serve import _TABLE_DTYPES, predictor_from_checkpoint
+
+    p = argparse.ArgumentParser(description="tpurec HTTP serving host")
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--bs", type=int, default=4096)
+    p.add_argument("--table_dtype", default="float32",
+                   choices=list(_TABLE_DTYPES))
+    args = p.parse_args(argv)
+
+    pred = predictor_from_checkpoint(
+        args.ckpt, batch_sizes=(args.bs,), table_dtype=args.table_dtype)
+    pred.warm()
+    srv = make_server(pred, args.host, args.port)
+    print(f"serving {args.ckpt} on http://{args.host}:{srv.server_address[1]} "
+          f"(bs={args.bs}, table={args.table_dtype})", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
