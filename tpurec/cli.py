@@ -67,6 +67,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--affinity_func", default="minus")
     p.add_argument("--old_matrix_weight", type=float, default=0.0)
     p.add_argument("--use_metric", default="loss", choices=["loss", "auc"])
+    # target re-assignment mode (cdc.py:121 update_group(mode=...))
+    p.add_argument("--cluster_mode", default="iterative",
+                   choices=["iterative", "greedy"])
     # synthetic-data knobs
     p.add_argument("--n_domain", type=int, default=6)
     p.add_argument("--n_rows", type=int, default=50000)
@@ -113,6 +116,7 @@ def build_config(args: argparse.Namespace) -> Config:
             affinity_func=args.affinity_func,
             old_matrix_weight=args.old_matrix_weight,
             use_metric=args.use_metric,
+            cluster_mode=args.cluster_mode,
         ),
         train=TrainConfig(
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
