@@ -182,3 +182,29 @@ def test_multihost_streaming_eval_matches_local():
     assert mh["domain_auc"].keys() == local["domain_auc"].keys()
     for d in local["domain_auc"]:
         assert abs(mh["domain_auc"][d] - local["domain_auc"][d]) < 1e-9
+
+
+def test_multihost_streaming_eval_refuses_surplus_rows():
+    """Eval has no next-epoch reshuffle, so local rows beyond the process's
+    global share must raise instead of being silently dropped."""
+    from tpurec.config import Config, ModelConfig, TrainConfig
+    from tpurec.data import make_synthetic
+    from tpurec.parallel import Shardings
+    from tpurec.train import Trainer
+
+    data = make_synthetic(n_rows=2000, n_fields=6, n_domain=4, domain_idx=3,
+                          seed=5)
+    cfg = Config(
+        model=ModelConfig(model="mmoe", embed_dim=8, mmoe_expert_dims=(16,),
+                          mmoe_tower_dims=(8,), use_atten=False, dropout=0.0),
+        train=TrainConfig(bs=256, epoch=1, seed=0),
+    )
+    mesh = make_mesh(4, 2)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain),
+                 mesh=mesh, shardings=Shardings(mesh))
+    Xtr, ytr = data.train  # big enough for several local batches
+    with mesh:
+        with pytest.raises(ValueError, match="more rows"):
+            # claim ONE global batch while the local shard holds several
+            tr.evaluate_streaming_multihost(Xtr, ytr, 256)
