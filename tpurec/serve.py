@@ -250,6 +250,9 @@ class Predictor:
             X = X.astype(np.int64, copy=True)
             for f, nb in self.hash_buckets.items():
                 X[:, f] = hash_ids(X[:, f], nb, salt=f)
+        # normalize AFTER hashing: bucket ids and in-vocab ids both fit
+        # int32, and one dtype means one compiled executable
+        X = X.astype(np.int32)
         n = X.shape[0]
         bs = self.batch_sizes[-1]
         out = np.empty((n,), np.float32)
@@ -345,7 +348,9 @@ def main(argv=None):
         X = np.load(args.input)
     else:
         X = np.loadtxt(args.input, delimiter=",", dtype=np.int64)
-    X = np.atleast_2d(np.asarray(X, np.int64)).astype(np.int32)
+    # keep int64: hash-trained checkpoints accept RAW ids wider than int32
+    # (the Predictor hashes, then narrows)
+    X = np.atleast_2d(np.asarray(X, np.int64))
 
     pred = predictor_from_checkpoint(
         args.ckpt, batch_sizes=(args.bs,), table_dtype=args.table_dtype)
