@@ -315,6 +315,11 @@ def test_http_server_predict_and_health(data, trained):
         assert h["status"] == "ok" and h["n_requests"] == 1 \
             and h["n_rows"] == 10
 
+        with urllib.request.urlopen(base + "/metrics") as r:
+            m = r.read().decode()
+        assert "tpurec_requests_total 1" in m
+        assert "tpurec_rows_total 10" in m and "tpurec_table_bytes" in m
+
         bad = urllib.request.Request(
             base + "/predict", data=b'{"instances": [[1, 2]]}',
             headers={"Content-Type": "application/json"})

@@ -36,7 +36,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
     bound port is ``server.server_address[1]`` (useful with port=0).
     """
     lock = threading.Lock()
-    stats = {"n_requests": 0, "n_rows": 0}
+    stats = {"n_requests": 0, "n_rows": 0, "latency_ms_sum": 0.0}
     n_fields = len(predictor.field_dims)
 
     class Handler(BaseHTTPRequestHandler):
@@ -52,6 +52,26 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/metrics":
+                # Prometheus text exposition
+                q_bytes, f32_bytes = predictor.table_bytes()
+                body = (
+                    "# TYPE tpurec_requests_total counter\n"
+                    f"tpurec_requests_total {stats['n_requests']}\n"
+                    "# TYPE tpurec_rows_total counter\n"
+                    f"tpurec_rows_total {stats['n_rows']}\n"
+                    "# TYPE tpurec_latency_ms_sum counter\n"
+                    f"tpurec_latency_ms_sum {stats['latency_ms_sum']:.3f}\n"
+                    "# TYPE tpurec_table_bytes gauge\n"
+                    f"tpurec_table_bytes {q_bytes}\n"
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if self.path != "/healthz":
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             self._reply(200, {
@@ -84,6 +104,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
                 ms = (time.perf_counter() - t0) * 1e3
                 stats["n_requests"] += 1
                 stats["n_rows"] += len(probs)
+                stats["latency_ms_sum"] += ms
                 self._reply(200, {
                     "predictions": [float(p) for p in probs],
                     "latency_ms": round(ms, 3),
