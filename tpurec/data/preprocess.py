@@ -287,7 +287,9 @@ def convert_raw_aliccp(
     common_feature_index.  Categorical fields keep the feat_id; the 8 dense
     ``D*`` aggregates keep the value of their paired field.
     """
-    common: Dict[str, Dict[str, Tuple[str, float]]] = {}
+    import csv
+
+    common: Dict[str, Dict[str, Tuple[str, str]]] = {}
     with open(common_features_path) as f:
         for line in f:
             idx, _num, feats = line.rstrip("\n").split(",", 2)
@@ -296,33 +298,52 @@ def convert_raw_aliccp(
                 if not item:
                     continue
                 field, feat_id, value = item.split(":")
-                fd[field] = (feat_id, float(value))
+                fd[field] = (feat_id, value)
             common[idx] = fd
 
-    dense_src = {d: d[1:] for d in ALICCP_DENSE}  # D109_14 -> 109_14 etc.
-    rows_main, rows_val = [], []
+    # streamed (the real dataset is ~85M skeleton rows — accumulating rows
+    # in Python lists and one giant DataFrame would need tens of GB; this
+    # writes as it reads with O(common-features) memory)
+    dense_pairs = [(d, d[1:]) for d in ALICCP_DENSE]  # D109_14 <- 109_14
+    header = ["click", "purchase"] + list(categorical) + list(ALICCP_DENSE)
     rng = np.random.default_rng(0)
-    with open(skeleton_path) as f:
-        for line in f:
-            sid, click, conv, cfi, _num, feats = line.rstrip("\n").split(",", 5)
-            fd = dict(common.get(cfi, {}))
-            for item in feats.split("\x01"):
-                if not item:
-                    continue
-                field, feat_id, value = item.split(":")
-                fd[field] = (feat_id, float(value))
-            row = {"click": int(click), "purchase": int(conv)}
-            for c in categorical:
-                row[c] = int(fd[c][0]) if c in fd else 0
-            for d, src in dense_src.items():
-                row[d] = fd[src][1] if src in fd else 0.0
-            if val_fraction > 0 and rng.random() < val_fraction:
-                rows_val.append(row)
-            else:
-                rows_main.append(row)
-    pd.DataFrame(rows_main).to_csv(out_csv, index=False)
+    f_main = open(out_csv, "w", newline="")
+    w_main = csv.writer(f_main)
+    w_main.writerow(header)
+    f_val = w_val = None
     if val_out_csv is not None:
-        pd.DataFrame(rows_val).to_csv(val_out_csv, index=False)
+        f_val = open(val_out_csv, "w", newline="")
+        w_val = csv.writer(f_val)
+        w_val.writerow(header)
+    empty: Dict[str, Tuple[str, str]] = {}
+    try:
+        with open(skeleton_path) as f:
+            for line in f:
+                sid, click, conv, cfi, _num, feats = \
+                    line.rstrip("\n").split(",", 5)
+                local: Dict[str, Tuple[str, str]] = {}
+                for item in feats.split("\x01"):
+                    if not item:
+                        continue
+                    field, feat_id, value = item.split(":")
+                    local[field] = (feat_id, value)
+                com = common.get(cfi, empty)
+                row = [click, conv]
+                for c in categorical:
+                    v = local.get(c) or com.get(c)
+                    row.append(v[0] if v is not None else "0")
+                for _, src in dense_pairs:
+                    v = local.get(src) or com.get(src)
+                    row.append(v[1] if v is not None else "0.0")
+                if (val_fraction > 0 and w_val is not None
+                        and rng.random() < val_fraction):
+                    w_val.writerow(row)
+                else:
+                    w_main.writerow(row)
+    finally:
+        f_main.close()
+        if f_val is not None:
+            f_val.close()
 
 
 class AliCCPPreprocessor:
