@@ -74,6 +74,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--n_domain", type=int, default=6)
     p.add_argument("--n_rows", type=int, default=50000)
     p.add_argument("--log_path", default=None)
+    # mirror scalar metrics to wandb when the package is installed
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--wandb_project", default="tpurec")
     # device mesh: data x model axes (tpurec.parallel).  mesh_data=0 means
     # "all remaining devices after mesh_model"; -1 disables the mesh even
     # on a multi-device host; with 1 device no mesh is built.
@@ -246,6 +249,25 @@ def main(argv=None):
     from tpurec.utils.logging import JsonlLogger
 
     logger = JsonlLogger(args.log_path)
+    log_fn = logger
+    if args.wandb:
+        # optional wandb mirror (the reference logs through wandb,
+        # main.py:79-80); gated on the package being installed
+        try:
+            import wandb
+        except ImportError:
+            print("WARNING: --wandb requested but wandb is not installed; "
+                  "logging to JSONL only.", flush=True)
+        else:
+            from tpurec.config import config_to_dict
+
+            wandb.init(project=args.wandb_project,
+                       config=config_to_dict(cfg))
+
+            def log_fn(rec, _jsonl=logger):
+                _jsonl(rec)
+                wandb.log({k: v for k, v in rec.items()
+                           if isinstance(v, (int, float))})
 
     # build a (data, model) mesh when more than one device is available
     # (or the user asked for a specific shape)
@@ -285,7 +307,7 @@ def main(argv=None):
                         mesh=mesh, shardings=shardings)
         if args.resume:
             tr.load_checkpoint(args.resume)
-        out = tr.fit(train, valid, test=test, log_fn=logger)
+        out = tr.fit(train, valid, test=test, log_fn=log_fn)
     else:
         from tpurec.train import Trainer
 
@@ -302,7 +324,7 @@ def main(argv=None):
                      mesh=mesh, shardings=shardings)
         if args.resume:
             tr.load_checkpoint(args.resume)
-        out = tr.fit(train, valid, test=test, log_fn=logger)
+        out = tr.fit(train, valid, test=test, log_fn=log_fn)
 
     # persist the best model (fit already reloaded it) as a self-describing
     # checkpoint so `python -m tpurec.serve --ckpt ...` needs nothing else
