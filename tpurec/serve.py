@@ -225,13 +225,27 @@ class Predictor:
         return self._fns[bs]
 
     def warm(self):
-        """AOT-compile every configured batch size (serve-time = 0 compiles)."""
+        """AOT-compile every configured batch size (serve-time = 0 compiles).
+
+        Batch sizes compile CONCURRENTLY: the remote-TPU compiler is
+        parallel and a cold compile runs 20-40s per shape, so warming
+        N shapes costs ~one compile instead of N (same trick as
+        CDCTrainer.warm_compile)."""
         if self._qtable is None:
             raise RuntimeError("load_variables/load_checkpoint first")
-        for bs in self.batch_sizes:
+
+        def one(bs):
             x = jnp.zeros((bs, len(self.field_dims)), jnp.int32)
             self._fn(bs)(self._qtable, self._scales, self._rest,
                          self._model_state, self._d2g_dev, x)
+
+        if len(self.batch_sizes) == 1:
+            one(self.batch_sizes[0])
+            return self
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(len(self.batch_sizes)) as ex:
+            list(ex.map(one, self.batch_sizes))
         return self
 
     def __call__(self, X: np.ndarray) -> np.ndarray:
