@@ -77,17 +77,17 @@ def gen_data():
     return csv
 
 
-def run_reference(model: str, epochs: int, strategy: str = "mix"):
+def run_reference(model: str, epochs: int, strategy: str = "mix", seed: int = 7):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{WORK}/wandb_stub:{WORK}:/root/reference"
     cmd = [sys.executable, "/root/reference/main.py", "--model", model,
            "--dataset_name", "amazon", "--bs", "512", "--embed_dim", "16",
            "--epoch", str(epochs), "--lr", "1e-3", "--is_set_seed", "1",
-           "--seed", "7", "--group_strategy", strategy]
+           "--seed", str(seed), "--group_strategy", strategy]
     r = subprocess.run(cmd, cwd=WORK, env=env, capture_output=True,
                        text=True, timeout=3600)
     lines = [l for l in r.stdout.splitlines() if "validation" in l]
-    print(f"REFERENCE {model}:")
+    print(f"REFERENCE {model} (seed {seed}):")
     for l in lines:
         print("   ", l)
     return lines
@@ -148,6 +148,8 @@ def main():
     ap.add_argument("--models", default="mmoe,deepfm")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--skip_ours", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -163,10 +165,11 @@ def main():
             m, strategy = m.split(":")
         if not args.skip_reference:
             try:
-                run_reference(m, args.epochs, strategy)
+                run_reference(m, args.epochs, strategy, args.seed)
             except Exception as e:  # reference crashes on torch>=2.6 reload
                 print(f"REFERENCE {m} errored: {e}")
-        run_ours(m, args.epochs, csv, strategy)
+        if not args.skip_ours:
+            run_ours(m, args.epochs, csv, strategy)
 
 
 if __name__ == "__main__":
