@@ -93,7 +93,7 @@ def run_reference(model: str, epochs: int, strategy: str = "mix", seed: int = 7)
     return lines
 
 
-def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix"):
+def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix", seed: int = 7):
     sys.path.insert(0, REPO)
     import numpy as np
     import pandas as pd
@@ -131,13 +131,13 @@ def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix"):
         "adl": dict(tower_dims=(256, 128, 64, 32)),
     }
     mcfg = ModelConfig(model=model, **kw, **per_model.get(model, {}))
-    cfg = Config(model=mcfg, train=TrainConfig(bs=512, epoch=epochs, seed=7))
+    cfg = Config(model=mcfg, train=TrainConfig(bs=512, epoch=epochs, seed=seed))
     d2g = (np.arange(n_domain, dtype=np.int64) if strategy == "split"
            else np.zeros(n_domain, np.int64))
     tr = Trainer(cfg, field_dims, n_domain, 3, domain2group=d2g)
     out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
                  test=(X[te_m], y[te_m]), domain_cnt_weight=w)
-    print(f"OURS {model}: valid_auc={out['valid']['total_auc']:.4f} "
+    print(f"OURS {model} (seed {seed}): valid_auc={out['valid']['total_auc']:.4f} "
           f"valid_mean_auc={out['valid']['mean_auc']:.4f} "
           f"test_auc={out['test']['total_auc']:.4f}")
     return out
@@ -169,7 +169,7 @@ def main():
             except Exception as e:  # reference crashes on torch>=2.6 reload
                 print(f"REFERENCE {m} errored: {e}")
         if not args.skip_ours:
-            run_ours(m, args.epochs, csv, strategy)
+            run_ours(m, args.epochs, csv, strategy, args.seed)
 
 
 if __name__ == "__main__":
