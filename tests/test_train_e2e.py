@@ -165,3 +165,19 @@ def test_fit_reproducible_same_seed(data):
             jax.tree_util.tree_leaves_with_path(params[0]),
             jax.tree_util.tree_leaves_with_path(params[1])):
         np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))
+
+
+def test_predict_matches_evaluate_ordering(data):
+    """Trainer.predict returns the same probabilities evaluate scores."""
+    from tpurec.metrics import auc_score
+
+    cfg = _cfg("mmoe", epoch=1)
+    tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                 domain2group=np.arange(data.n_domain))
+    tr.fit(data.train, data.valid, domain_cnt_weight=data.domain_cnt_weight())
+    Xv, yv = data.valid
+    probs = tr.predict(Xv)
+    assert probs.shape == (len(yv),)
+    assert np.all((probs >= 0) & (probs <= 1))
+    r = tr.evaluate(Xv, yv)
+    assert abs(auc_score(yv, probs) - r["total_auc"]) < 1e-12

@@ -442,6 +442,28 @@ class Trainer:
 
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
+        predicts = self.predict(X, _y_for_cache=y)
+        targets = y.reshape(-1)
+        result = {
+            "total_auc": auc_score(targets, predicts),
+            "total_loss": log_loss_score(targets, predicts),
+        }
+        if self.cfg.train.is_evaluate_multi_domain and domain_cnt_weight is not None:
+            result.update(
+                evaluate_multi_domain(
+                    targets, predicts, X[:, self.domain_idx], domain_cnt_weight
+                )
+            )
+        return result
+
+    def predict(self, X: np.ndarray,
+                _y_for_cache: Optional[np.ndarray] = None) -> np.ndarray:
+        """Probabilities [N] for raw id rows (each row's tower selected by
+        its domain's group) — the library-level scoring call.  For
+        serving-grade scoring (AOT warmup, table quantization, hash spec)
+        use tpurec.serve.Predictor."""
+        y = (_y_for_cache if _y_for_cache is not None
+             else np.zeros(X.shape[0], np.float32))
         bs = self.cfg.train.bs
         if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
             # device-resident: gather batches by index on device, predict
@@ -470,18 +492,7 @@ class Trainer:
                 )
                 preds.append(np.asarray(p)[mask > 0])
             predicts = np.concatenate(preds)
-        targets = y.reshape(-1)
-        result = {
-            "total_auc": auc_score(targets, predicts),
-            "total_loss": log_loss_score(targets, predicts),
-        }
-        if self.cfg.train.is_evaluate_multi_domain and domain_cnt_weight is not None:
-            result.update(
-                evaluate_multi_domain(
-                    targets, predicts, X[:, self.domain_idx], domain_cnt_weight
-                )
-            )
-        return result
+        return predicts
 
     def evaluate_streaming(self, X: np.ndarray, y: np.ndarray,
                            domain_cnt_weight: Optional[np.ndarray] = None,
