@@ -221,3 +221,56 @@ def test_afm_matches_torch(rng):
 
     got = np.array(ours.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_outer_product_network_matches_torch(rng):
+    """OuterProductNetwork vs the reference's torch forward
+    (layer.py:460-492) for all three kernel types.  NOTE the 'mat'
+    parameterizations are transposes of each other (reference indexes
+    kernel[e,i,d], ours kernel[d,i,e] — same function class, xavier init
+    symmetric in distribution); the copy below maps between them."""
+    from tpurec.nn.interactions import OuterProductNetwork
+
+    B, F_, D = 5, 4, 6
+    x = rng.normal(size=(B, F_, D)).astype(np.float32)
+    row, col = [], []
+    for i in range(F_ - 1):
+        for j in range(i + 1, F_):
+            row.append(i), col.append(j)
+    xt = torch.tensor(x)
+    p, q = xt[:, row], xt[:, col]
+
+    for kt in ("mat", "vec", "num"):
+        ours = OuterProductNetwork(F_, D, kernel_type=kt)
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        k = torch.tensor(np.array(variables["params"]["kernel"]))
+        if kt == "mat":
+            kp = torch.sum(p.unsqueeze(1) * k.permute(2, 1, 0), dim=-1) \
+                .permute(0, 2, 1)
+            want = torch.sum(kp * q, -1)
+        else:
+            want = torch.sum(p * q * k.unsqueeze(0), -1)
+        got = np.array(ours.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want.numpy(), atol=2e-6,
+                                   err_msg=f"kernel_type={kt}")
+
+
+def test_anova_kernel_matches_bruteforce_and_torch(rng):
+    """AnovaKernel DP (layer.py:585-606) == brute-force sum over all
+    order-t field subsets of their elementwise product."""
+    from itertools import combinations
+
+    from tpurec.nn.interactions import AnovaKernel
+
+    B, F_, D, t = 3, 5, 4, 3
+    x = rng.normal(size=(B, F_, D)).astype(np.float32)
+    got = np.array(AnovaKernel(order=t, reduce_sum=False).apply(
+        {}, jnp.asarray(x)))
+    want = np.zeros((B, D), np.float64)
+    for combo in combinations(range(F_), t):
+        want += np.prod(x[:, list(combo), :].astype(np.float64), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # reduce_sum variant: [B, 1] row sums
+    got_rs = np.array(AnovaKernel(order=t, reduce_sum=True).apply(
+        {}, jnp.asarray(x)))
+    np.testing.assert_allclose(got_rs, want.sum(-1, keepdims=True), rtol=1e-5)
