@@ -151,6 +151,75 @@ def test_cdc_sharded_matches_single(data):
     assert "model" in str(m_sh.spec), m_sh
 
 
+def _with_placement(cfg, placement):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, cdc=dataclasses.replace(cfg.cdc, data_placement=placement))
+
+
+def test_cdc_stream_placement_matches_resident(data):
+    """data_placement='stream' (dataset in HOST memory, per-dispatch row
+    windows) must reproduce the resident path bit-for-bit: same host RNG
+    schedule, same row values, same jitted math — only the feeding
+    differs (VERDICT round-1 item 2: CDC must not require the whole train
+    split in HBM)."""
+    res = CDCTrainer(_with_placement(_cfg("mmoe"), "resident"),
+                     data.field_dims, data.n_domain, data.domain_idx)
+    res.setup_data(data.train, data.valid)
+    assert res._resident
+    res.update_matrix_cdc(1)
+
+    srm = CDCTrainer(_with_placement(_cfg("mmoe"), "stream"),
+                     data.field_dims, data.n_domain, data.domain_idx)
+    srm.setup_data(data.train, data.valid)
+    assert not srm._resident and srm.Xdev is None
+    srm.update_matrix_cdc(1)
+
+    np.testing.assert_array_equal(res.cluster.matrix_mask,
+                                  srm.cluster.matrix_mask)
+    np.testing.assert_array_equal(res.cluster.matrix_A, srm.cluster.matrix_A)
+    np.testing.assert_array_equal(res.cluster.matrix_B, srm.cluster.matrix_B)
+    assert list(res.cluster.domain2group_list) == \
+        list(srm.cluster.domain2group_list)
+    # and the post-update train state is identical too
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(res.state.params),
+                    jax.tree_util.tree_leaves(srm.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cdc_stream_full_fit(data):
+    """End-to-end CDC fit in stream placement: warmup scan, matrix
+    updates, split training spans and eval all run off host windows."""
+    cfg = _with_placement(_cfg("mmoe"), "stream")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    out = tr.fit(data.train, data.valid, test=data.test)
+    assert not tr._resident
+    labels = out["domain2group_list"]
+    assert len(labels) == data.n_domain and set(labels) <= {0, 1}
+    assert out["valid"]["total_auc"] > 0.55
+
+
+def test_cdc_placement_auto_rules(data):
+    cfg = _cfg("mmoe")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    # auto: resident under the single-chip budget
+    assert tr._decide_placement(1 << 20)
+    assert not tr._decide_placement(tr.RESIDENT_BUDGET + 1)
+    import jax
+
+    from tpurec.parallel import Shardings, make_mesh
+
+    mesh = make_mesh(4, 2, devices=jax.devices()[:8])
+    trm = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     mesh=mesh, shardings=Shardings(mesh))
+    # on a mesh a resident dataset replicates per chip: budget is smaller
+    assert not trm._decide_placement(trm.MESH_RESIDENT_BUDGET + 1)
+    assert trm._decide_placement(1 << 20)
+
+
 def test_cdc_auc_metric_mode(data):
     """use_metric='auc' (config.py:52 / cdc.py:113-119): matrices are
     populated with per-domain AUC (higher=better) and clustering still

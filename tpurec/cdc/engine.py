@@ -433,6 +433,26 @@ class CDCTrainer:
         )
 
     # ------------------------------------------------------------------
+    # dataset-placement budgets (CDCConfig.data_placement='auto'): a v5e
+    # has 16GB HBM — leave room for params/moments/populate activations;
+    # on a mesh a resident dataset is REPLICATED per chip, so the budget
+    # drops sharply before streaming takes over
+    RESIDENT_BUDGET = 4 << 30
+    MESH_RESIDENT_BUDGET = 256 << 20
+
+    def _decide_placement(self, nbytes: int) -> bool:
+        """True = device-resident, False = host-stream windows."""
+        mode = self.cfg.cdc.data_placement
+        if mode == "resident":
+            return True
+        if mode == "stream":
+            return False
+        if mode != "auto":
+            raise ValueError(f"unknown data_placement {mode!r}")
+        budget = (self.MESH_RESIDENT_BUDGET if self.mesh is not None
+                  else self.RESIDENT_BUDGET)
+        return nbytes <= budget
+
     def setup_data(self, train, valid=None, test=None):
         Xtr, ytr = train
         self.train_batcher = DomainBatcher(
@@ -458,14 +478,51 @@ class CDCTrainer:
             self.cluster = CDCClusterState.create(
                 self.n_domain, self.n_cluster, self.cfg.cdc
             )
-        # device-resident training arrays; the hot loop only ships indices
-        self.Xdev = jnp.asarray(Xtr, jnp.int32)
-        self.ydev = jnp.asarray(ytr.astype(np.float32).reshape(-1))
-        if self.mesh is not None and self.shardings is not None:
-            # dataset replicated on every chip (batches are index-gathered
-            # then sharded by rows inside the jitted steps)
-            self.Xdev = jax.device_put(self.Xdev, self.shardings.replicated())
-            self.ydev = jax.device_put(self.ydev, self.shardings.replicated())
+        Xh = np.ascontiguousarray(Xtr, dtype=np.int32)
+        yh = np.ascontiguousarray(ytr, dtype=np.float32).reshape(-1)
+        self._resident = self._decide_placement(Xh.nbytes + yh.nbytes)
+        if self._resident:
+            # device-resident training arrays; the hot loop ships indices
+            self.Xhost = self.yhost = None
+            self.Xdev = jnp.asarray(Xh)
+            self.ydev = jnp.asarray(yh)
+            if self.mesh is not None and self.shardings is not None:
+                # dataset replicated on every chip (batches are
+                # index-gathered then sharded by rows inside the steps)
+                self.Xdev = jax.device_put(self.Xdev, self.shardings.replicated())
+                self.ydev = jax.device_put(self.ydev, self.shardings.replicated())
+        else:
+            # host-stream: the dataset NEVER lives in HBM.  Every dispatch
+            # gathers its scheduled rows into one fixed-shape window
+            # host-side (_feed) — same jitted executables, the "dataset"
+            # argument is just the window and the indices are positions in
+            # it.  This is how CDC scales past the HBM budget (the
+            # reference requires the whole split on-device, run.py:239).
+            self.Xhost, self.yhost = Xh, yh
+            self.Xdev = self.ydev = None
+
+    def _feed(self, *idx_arrays):
+        """(index schedules) -> (Xsrc, ysrc, *idx_dev) for the jitted steps.
+
+        resident: the device-resident dataset and the indices unchanged.
+        stream:   host-gathers the scheduled rows into ONE window
+                  [sum(sizes), F] and re-points the indices at window
+                  positions; window shape is fixed per call site, so each
+                  site still compiles exactly once.
+        """
+        if self._resident:
+            return (self.Xdev, self.ydev) + tuple(
+                jnp.asarray(a) for a in idx_arrays)
+        flat = np.concatenate(
+            [np.asarray(a, np.int64).ravel() for a in idx_arrays])
+        Xw = jnp.asarray(self.Xhost[flat])
+        yw = jnp.asarray(self.yhost[flat])
+        outs, off = [], 0
+        for a in idx_arrays:
+            outs.append(jnp.asarray(
+                np.arange(off, off + a.size, dtype=np.int32).reshape(a.shape)))
+            off += a.size
+        return (Xw, yw) + tuple(outs)
 
     @property
     def domain2group_dev(self):
@@ -498,18 +555,20 @@ class CDCTrainer:
         """One split-mode step on one domain batch (run.py:635-640)."""
         idx, mask = self._next_idx_padded(d, self.cfg.train.bs)
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+        Xsrc, ysrc, idx_d = self._feed(idx)
         self.state, loss = self._split_step(
-            self.state, self.Xdev, self.ydev,
-            jnp.asarray(idx), jnp.asarray(mask), rng, self.domain2group_dev,
+            self.state, Xsrc, ysrc,
+            idx_d, jnp.asarray(mask), rng, self.domain2group_dev,
         )
         return loss
 
     def _split_scan_run(self, idxs: np.ndarray, masks: np.ndarray):
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         rngs = jax.random.split(rng, idxs.shape[0])
+        Xsrc, ysrc, idxs_d = self._feed(idxs)
         self.state, losses = self._split_scan(
-            self.state, self.Xdev, self.ydev,
-            jnp.asarray(idxs), jnp.asarray(masks), rngs, self.domain2group_dev,
+            self.state, Xsrc, ysrc,
+            idxs_d, jnp.asarray(masks), rngs, self.domain2group_dev,
         )
         return losses
 
@@ -544,9 +603,10 @@ class CDCTrainer:
             idxs[i], masks[i], valids[i] = ii, mm, 1.0
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         rngs = jax.random.split(rng, K_max)
+        Xsrc, ysrc, idxs_d = self._feed(idxs)
         self.state, _ = self._split_scan_gated(
-            self.state, self.Xdev, self.ydev,
-            jnp.asarray(idxs), jnp.asarray(masks), jnp.asarray(valids), rngs,
+            self.state, Xsrc, ysrc,
+            idxs_d, jnp.asarray(masks), jnp.asarray(valids), rngs,
             self.domain2group_dev,
         )
 
@@ -555,24 +615,6 @@ class CDCTrainer:
         n_domain domains repeated k times in chunks of group_chunk_size."""
         chunk = self.cfg.cdc.group_chunk_size
         return max(1, -(-(self.n_domain * max(k, 1)) // chunk))
-
-    def _eval_matrix_row(self) -> np.ndarray:
-        """Loss on one train-stream batch of every domain, one jitted call
-        (run.py:550-558; batches come from the TRAIN stream, run.py:555)."""
-        bs = self.cfg.train.bs
-        pairs = [self._next_idx_padded(d, bs) for d in range(self.n_domain)]
-        idx = np.stack([p[0] for p in pairs])
-        masks = np.stack([p[1] for p in pairs])
-        fn = (
-            self._eval_all_domains_auc
-            if self.cfg.cdc.use_metric == "auc" else self._eval_all_domains
-        )
-        row = fn(
-            self.state.params, self.state.model_state,
-            self.Xdev, self.ydev,
-            jnp.asarray(idx), jnp.asarray(masks), self.domain2group_dev,
-        )
-        return np.asarray(row, np.float64)
 
     # ------------------------------------------------------------------
     def _eval_sched(self):
@@ -600,6 +642,17 @@ class CDCTrainer:
                 valids[s] = 1.0
         return idxs, masks, valids
 
+    def _data_avals(self, R: int, K: int, W: int):
+        """(Xsrc, ysrc) avals of one populate call: the resident dataset,
+        or the stream window [R*K*W + R*D*bs, F]."""
+        sds = jax.ShapeDtypeStruct
+        if self._resident:
+            return (sds(self.Xdev.shape, self.Xdev.dtype),
+                    sds(self.ydev.shape, self.ydev.dtype))
+        T = R * K * W + R * self.n_domain * self.cfg.train.bs
+        return (sds((T, self.Xhost.shape[1]), jnp.int32),
+                sds((T,), jnp.float32))
+
     def _populate_avals(self, R: int, K: int, W: int):
         """Abstract arg signature of one _populate_rows shape."""
         D, bs = self.n_domain, self.cfg.train.bs
@@ -609,33 +662,38 @@ class CDCTrainer:
             lambda k: jax.random.split(k, R), self.dropout_rng)
         return (
             jax.tree_util.tree_map(aval, self.state),
-            aval(self.Xdev), aval(self.ydev),
+            *self._data_avals(R, K, W),
             sds((R, K, W), jnp.int32), sds((R, K, W), jnp.float32),
             sds((R, K), jnp.float32), rngs_aval,
             sds((R, D, bs), jnp.int32), sds((R, D, bs), jnp.float32),
             sds((D,), jnp.int32),
         )
 
-    def warm_compile(self, update_matrix_step: int):
-        """AOT-compile the three populate shapes CONCURRENTLY (the remote
-        compiler parallelizes; measured ~2x for 2 threads) — the first
-        matrix update otherwise pays ~3 serial multi-minute compiles.
-        fit() calls this before the warmup phase so the compiles also
-        overlap warmup training.  Single-device only (AOT avals carry no
-        shardings); the jitted path remains the fallback."""
-        if self.mesh is not None:
-            return
-        self._sync_populate_cache()
+    def _populate_shapes(self, update_matrix_step: int):
         k = update_matrix_step
         bs, D = self.cfg.train.bs, self.n_domain
         K_max = self._burst_k_max(k)
         W = self.cfg.cdc.group_chunk_size * bs
-        shapes = {
+        return {
             (self.cfg.cdc.n_causal_mask, K_max, W),
             (D, k, bs),
             (D + self.n_cluster, K_max, W),
         }
-        shapes = [s for s in shapes
+
+    def warm_compile(self, update_matrix_step: int):
+        """Warm the three populate shapes CONCURRENTLY — the first matrix
+        update otherwise pays ~3 serial multi-minute compiles.  fit()
+        calls this before the warmup phase so the compiles also overlap
+        warmup training.
+
+        Single device: AOT-lower + compile (the remote compiler
+        parallelizes; measured ~2x for 2 threads).  On a mesh, AOT avals
+        carry no shardings, so instead each thread makes a SHADOW call to
+        the jitted populate on a copy of the state with an all-gated
+        (valid=0) schedule: it compiles the identical executable into the
+        jit cache, and the gated steps execute ~nothing."""
+        self._sync_populate_cache()
+        shapes = [s for s in self._populate_shapes(update_matrix_step)
                   if s not in self._populate_exec
                   and s not in self._warm_inflight]
         if not shapes:
@@ -643,9 +701,33 @@ class CDCTrainer:
 
         import concurrent.futures
 
-        def build(shape):
-            return shape, self._populate_rows.lower(
-                *self._populate_avals(*shape)).compile()
+        if self.mesh is None:
+            def build(shape):
+                return shape, self._populate_rows.lower(
+                    *self._populate_avals(*shape)).compile()
+        else:
+            def build(shape):
+                R, K, W = shape
+                D, bs = self.n_domain, self.cfg.train.bs
+                davals = self._data_avals(R, K, W)
+                Xsrc = (self.Xdev if self._resident
+                        else jnp.zeros(davals[0].shape, jnp.int32))
+                ysrc = (self.ydev if self._resident
+                        else jnp.zeros(davals[1].shape, jnp.float32))
+                state_copy = jax.tree_util.tree_map(jnp.copy, self.state)
+                _, rows = self._populate_rows(
+                    state_copy, Xsrc, ysrc,
+                    jnp.zeros((R, K, W), jnp.int32),
+                    jnp.zeros((R, K, W), jnp.float32),
+                    jnp.zeros((R, K), jnp.float32),
+                    jax.random.split(jax.random.PRNGKey(0), R),
+                    jnp.zeros((R, D, bs), jnp.int32),
+                    jnp.zeros((R, D, bs), jnp.float32),
+                    jnp.zeros((D,), jnp.int32),
+                )
+                jax.block_until_ready(rows)
+                # executable lives in the jit cache; mark the shape warm
+                return shape, self._populate_rows
 
         ex = concurrent.futures.ThreadPoolExecutor(max_workers=len(shapes))
         for s in shapes:
@@ -654,13 +736,15 @@ class CDCTrainer:
         ex.shutdown(wait=False)
 
     def _sync_populate_cache(self):
-        """Drop AOT populate executables compiled against a DIFFERENT
-        dataset: their signatures bake in the Xdev/ydev shapes, so after a
-        setup_data with different-size arrays they would fail with
-        'Argument types differ'.  Called on every cache touch point
+        """Drop warm populate executables compiled against a DIFFERENT
+        dataset: resident-mode signatures bake in the Xdev/ydev shapes, so
+        after a setup_data with different-size arrays they would fail with
+        'Argument types differ' (stream-mode windows depend only on the
+        schedule shapes + field count).  Called on every cache touch point
         (warm_compile AND _run_populate — update_matrix_cdc may run
         without a fresh warm_compile)."""
-        data_sig = (self.Xdev.shape, self.ydev.shape)
+        data_sig = ((self.Xdev.shape, self.ydev.shape) if self._resident
+                    else ("stream", self.Xhost.shape[1]))
         if getattr(self, "_populate_data_sig", None) != data_sig:
             self._populate_exec = {}
             self._warm_inflight = set()
@@ -690,10 +774,11 @@ class CDCTrainer:
         self._sync_populate_cache()
         self._collect_warm()
         fn = self._populate_exec.get(bidx.shape, self._populate_rows)
+        Xsrc, ysrc, bidx_d, eidx_d = self._feed(bidx, eidx)
         self.state, rows = fn(
-            self.state, self.Xdev, self.ydev,
-            jnp.asarray(bidx), jnp.asarray(bmask), jnp.asarray(bvalid), rngs,
-            jnp.asarray(eidx), jnp.asarray(emask), self.domain2group_dev,
+            self.state, Xsrc, ysrc,
+            bidx_d, jnp.asarray(bmask), jnp.asarray(bvalid), rngs,
+            eidx_d, jnp.asarray(emask), self.domain2group_dev,
         )
         return np.asarray(rows, np.float64)
 
@@ -734,16 +819,13 @@ class CDCTrainer:
         # ---- matrix A: warm baseline (eval-only) + train-on-one rows
         # (run.py:571-577); single-domain bursts are k steps of [bs]
         ei, em = self._eval_sched()
+        base_fn = (self._eval_all_domains_auc if cfg.use_metric == "auc"
+                   else self._eval_all_domains)
+        Xsrc, ysrc, ei_d = self._feed(ei)
         st.matrix_A[D] = np.asarray(
-            self._eval_all_domains(
-                self.state.params, self.state.model_state, self.Xdev, self.ydev,
-                jnp.asarray(ei), jnp.asarray(em), self.domain2group_dev,
-            ),
-            np.float64,
-        ) if cfg.use_metric != "auc" else np.asarray(
-            self._eval_all_domains_auc(
-                self.state.params, self.state.model_state, self.Xdev, self.ydev,
-                jnp.asarray(ei), jnp.asarray(em), self.domain2group_dev,
+            base_fn(
+                self.state.params, self.state.model_state, Xsrc, ysrc,
+                ei_d, jnp.asarray(em), self.domain2group_dev,
             ),
             np.float64,
         )
@@ -849,9 +931,10 @@ class CDCTrainer:
             masks = np.stack([p[1] for p in pairs])
             self.dropout_rng, rng = jax.random.split(self.dropout_rng)
             rngs = jax.random.split(rng, warmup_step)
+            Xsrc, ysrc, idxs_d = self._feed(idxs)
             self.state, _ = self._warmup_scan(
-                self.state, self.Xdev, self.ydev,
-                jnp.asarray(idxs), jnp.asarray(masks), rngs,
+                self.state, Xsrc, ysrc,
+                idxs_d, jnp.asarray(masks), rngs,
                 self.domain2group_dev,
             )
 
@@ -905,9 +988,10 @@ class CDCTrainer:
                 losses = self._split_scan_run(idxs, masks)
             elif span == 1:
                 self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+                Xsrc, ysrc, idx_d = self._feed(idxs[0])
                 self.state, losses = self._split_step(
-                    self.state, self.Xdev, self.ydev,
-                    jnp.asarray(idxs[0]), jnp.asarray(masks[0]), rng,
+                    self.state, Xsrc, ysrc,
+                    idx_d, jnp.asarray(masks[0]), rng,
                     self.domain2group_dev,
                 )
             else:
@@ -919,9 +1003,10 @@ class CDCTrainer:
                 )
                 self.dropout_rng, rng = jax.random.split(self.dropout_rng)
                 rngs = jax.random.split(rng, self._SPAN_SCAN)
+                Xsrc, ysrc, idxs_d = self._feed(idxs)
                 self.state, losses = self._split_scan_gated(
-                    self.state, self.Xdev, self.ydev,
-                    jnp.asarray(idxs), jnp.asarray(masks),
+                    self.state, Xsrc, ysrc,
+                    idxs_d, jnp.asarray(masks),
                     jnp.asarray(valids), rngs, self.domain2group_dev,
                 )
                 losses = losses[:span]
@@ -950,6 +1035,13 @@ class CDCTrainer:
         mp = np.zeros(nb * bs, np.float32)
         mp[:n] = 1.0
         return X, y, Xp, yp, mp, n, nb, CH
+
+    @property
+    def _use_streaming_eval(self) -> bool:
+        """eval_streaming=None = auto: streaming (no host prediction
+        gather) whenever running on a mesh (see Trainer)."""
+        es = self.cfg.train.eval_streaming
+        return (self.mesh is not None) if es is None else bool(es)
 
     def evaluate(self, batcher: DomainBatcher) -> Dict:
         """Split-mode eval (run.py:653-661).  Rows are routed per-row by
@@ -1082,7 +1174,7 @@ class CDCTrainer:
         # overlap the warmup phase and each other (remote compiler is
         # parallel), so the first matrix update doesn't stall on them
         self.warm_compile(self.cfg.cdc.update_matrix_step)
-        eval_fn = (self.evaluate_streaming if self.cfg.train.eval_streaming
+        eval_fn = (self.evaluate_streaming if self._use_streaming_eval
                    else self.evaluate)
         best_cluster = None
         for epoch_i in range(self.cfg.train.epoch):

@@ -93,7 +93,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                    choices=["float32", "bfloat16"])
     # on-device histogram eval (Trainer.evaluate_streaming) instead of
     # gathering predictions to host
-    p.add_argument("--eval_streaming", action="store_true")
+    # tri-state: unset = auto (streaming iff mesh), explicit on/off wins
+    p.add_argument("--eval_streaming", action=argparse.BooleanOptionalAction,
+                   default=None)
     args = p.parse_args(argv)
 
     if args.is_set_seed == 0:

@@ -66,8 +66,9 @@ class ModelConfig:
     sei_dims: Tuple[int, ...] = (64, 32)
     sei_expert_num: int = 4                   # hinet.py:9
 
-    # adl (config.py:52)
-    dlm_iters: int = 3
+    # adl (config.py:52).  The reference's dlm_iters loop (adl.py:69-75)
+    # recomputes identical values every iteration, so the knob is
+    # intentionally NOT carried (see models/adl.py module docstring).
     dlm_update_rate: float = 0.9              # adl.py:22
 
     # zoo extensions BEYOND the reference (models the reference's layer
@@ -133,6 +134,18 @@ class CDCConfig:
     # training on a domain subset (run.py:535 hard-codes chunks of 7)
     group_chunk_size: int = 7
     save_matrix_artifacts: bool = False
+    # where the training split lives during CDC (reference: whole dataset
+    # on the one GPU, run.py:239,273):
+    #   'resident' — dataset device-resident, steps gather rows by index
+    #                (fastest; replicated per chip on a mesh)
+    #   'stream'   — dataset stays in HOST memory; each dispatch ships a
+    #                fixed-shape window of exactly the scheduled rows
+    #                (datasets bigger than HBM, and the non-replicated
+    #                placement for meshes)
+    #   'auto'     — resident while the split fits the HBM budget
+    #                (CDCTrainer.RESIDENT_BUDGET single-chip,
+    #                MESH_RESIDENT_BUDGET per chip on a mesh), else stream
+    data_placement: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -151,8 +164,9 @@ class TrainConfig:
     is_evaluate_multi_domain: bool = True     # config.py:11
     # eval via on-device per-domain AUC histograms instead of gathering
     # every prediction to host (Trainer.evaluate_streaming; AUC error
-    # O(1/8192) — the scalable choice on a mesh / for huge eval splits)
-    eval_streaming: bool = False
+    # O(1/8192) — the scalable choice on a mesh / for huge eval splits).
+    # None = auto: streaming when running on a mesh, exact otherwise.
+    eval_streaming: Optional[bool] = None
     log_interval_rows: int = 204800           # run.py:474 (log every N rows)
     save_path: str = "save"
     # operand dtype of dense contractions ('float32' or 'bfloat16').

@@ -316,6 +316,11 @@ def predictor_from_checkpoint(path: str,
     dataset schema (field_dims/n_domain/domain_idx/grouping), so this
     needs nothing but the file.  ``cfg`` overrides the embedded config
     (e.g. for older checkpoints that predate the embedding).
+
+    TRUST BOUNDARY: the checkpoint envelope is a pickle (only the inner
+    state bytes are msgpack), and unpickling executes arbitrary code —
+    load checkpoints ONLY from paths you produced or trust, exactly as
+    with ``torch.load`` on the reference's checkpoints (run.py:447-459).
     """
     payload = _load_payload(path)
     if cfg is None:

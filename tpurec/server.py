@@ -102,9 +102,13 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
                 with lock:
                     probs = predictor(X)
                 ms = (time.perf_counter() - t0) * 1e3
-                stats["n_requests"] += 1
-                stats["n_rows"] += len(probs)
-                stats["latency_ms_sum"] += ms
+                # stats updates share the predictor lock: ThreadingHTTPServer
+                # handles requests concurrently and unlocked read-modify-
+                # writes would lose increments in the /metrics counters
+                with lock:
+                    stats["n_requests"] += 1
+                    stats["n_rows"] += len(probs)
+                    stats["latency_ms_sum"] += ms
                 self._reply(200, {
                     "predictions": [float(p) for p in probs],
                     "latency_ms": round(ms, 3),

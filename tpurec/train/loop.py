@@ -440,8 +440,18 @@ class Trainer:
         mask[:n] = 1.0
         return idx.reshape(nb, bs), mask.reshape(nb, bs), ch
 
+    @property
+    def _use_streaming_eval(self) -> bool:
+        """eval_streaming=None means auto: histogram (no-host-gather) eval
+        whenever running on a mesh — the exact eval's full prediction
+        gather is the wrong default for a sharded run."""
+        es = self.cfg.train.eval_streaming
+        return (self.mesh is not None) if es is None else bool(es)
+
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
+        if X.shape[0] == 0:
+            raise ValueError("evaluate: empty eval split")
         predicts = self.predict(X, _y_for_cache=y)
         targets = y.reshape(-1)
         result = {
@@ -462,8 +472,26 @@ class Trainer:
         its domain's group) — the library-level scoring call.  For
         serving-grade scoring (AOT warmup, table quantization, hash spec)
         use tpurec.serve.Predictor."""
-        y = (_y_for_cache if _y_for_cache is not None
-             else np.zeros(X.shape[0], np.float32))
+        if X.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        if _y_for_cache is not None:
+            y = _y_for_cache
+        else:
+            # reuse ONE zero-label array per X so the device-dataset cache
+            # key (id(X), shape, id(y)) repeats across predict(X) calls —
+            # a fresh zeros() every call would re-upload X each time.
+            # Values hold a reference to X: id() keys are only valid while
+            # the keyed object is alive.
+            zc = getattr(self, "_zero_y_cache", None)
+            if zc is None:
+                zc = self._zero_y_cache = {}
+            key = (id(X), X.shape[0])
+            ent = zc.get(key)
+            if ent is None or ent[0] is not X:
+                while len(zc) >= 4:
+                    zc.pop(next(iter(zc)))
+                ent = zc[key] = (X, np.zeros(X.shape[0], np.float32))
+            y = ent[1]
         bs = self.cfg.train.bs
         if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
             # device-resident: gather batches by index on device, predict
@@ -524,6 +552,8 @@ class Trainer:
         from tpurec.train.step import HostHistAccumulator
 
         n = X.shape[0]
+        if n == 0:
+            raise ValueError("evaluate_streaming: empty eval split")
         # device-side f32 carries flush into f64 host totals periodically so
         # counts stay exact at any eval-split size (f32 alone saturates at
         # 2^24 rows per accumulator cell)
@@ -731,7 +761,7 @@ class Trainer:
         if domain_cnt_weight is None:
             cnt = np.bincount(Xtr[:, self.domain_idx], minlength=self.n_domain)
             domain_cnt_weight = cnt / cnt.sum()
-        eval_fn = (self.evaluate_streaming if self.cfg.train.eval_streaming
+        eval_fn = (self.evaluate_streaming if self._use_streaming_eval
                    else self.evaluate)
         for epoch_i in range(self.cfg.train.epoch):
             t0 = time.time()
