@@ -5,6 +5,8 @@
 # TPU relay up (bench.py exits 1 fast if it is down).
 set -uo pipefail
 cd "$(dirname "$0")/.."
+# scripts/*.py run with sys.path[0]=scripts/ — put the repo root first
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 echo "=== bench.py (headline: MMoE train examples/sec/chip) ==="
 python bench.py || exit 1

@@ -98,3 +98,46 @@ def test_trainer_versioned_roundtrip(tmp_path, kind):
         np.array(tr2.state.params["embedding"]["table"]), table_before)
     assert meta["config_model"] == "deepfm" and meta["extra"]["note"] == "x"
     be.close()
+
+
+@pytest.mark.parametrize("kind", ["pickle", "orbax"])
+def test_cdc_versioned_roundtrip(tmp_path, kind):
+    """CDCTrainer versioned checkpoints carry the cluster state (matrices,
+    assignments, p_weight) through both backends — parity with Trainer
+    (VERDICT round-1 item 7; reference semantics run.py:447-459,455-457)."""
+    import dataclasses
+
+    from tpurec.config import CDCConfig, Config
+    from tpurec.data import make_synthetic
+    from tpurec.cdc import CDCTrainer
+
+    data = make_synthetic(n_rows=2000, n_fields=4, n_domain=4, domain_idx=1,
+                          seed=6)
+    cfg = Config(
+        model=ModelConfig(model="cdc", embed_dim=4, mlp_dims=(8,),
+                          tower_dims=(4,), gate_hidden_dim=4, use_atten=False),
+        cdc=CDCConfig(base_model="mmoe", n_cluster=2, n_causal_mask=3,
+                      warmup_step=2, update_matrix_step=1, update_interval=20,
+                      cdc_tower_dims=(4,)),
+        train=TrainConfig(bs=128, epoch=1, seed=0, checkpoint_backend=kind),
+    )
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.setup_data(data.train, data.valid)
+    tr.update_matrix_cdc(cfg.cdc.update_matrix_step)
+    be = tr.make_checkpointer(str(tmp_path / "cdc_ck"))
+    tr.save_versioned(be, 5, extra={"tag": "r2"})
+    be.wait_until_finished()
+    table_before = np.array(tr.state.params["embedding"]["table"])
+
+    tr2 = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    meta = tr2.load_versioned(tr2.make_checkpointer(str(tmp_path / "cdc_ck")))
+    np.testing.assert_allclose(
+        np.array(tr2.state.params["embedding"]["table"]), table_before)
+    np.testing.assert_allclose(tr2.cluster.matrix_mask, tr.cluster.matrix_mask)
+    np.testing.assert_allclose(tr2.cluster.matrix_A, tr.cluster.matrix_A)
+    assert list(tr2.cluster.domain2group_list) == \
+        list(tr.cluster.domain2group_list)
+    assert tr2.cluster.call_update_group == tr.cluster.call_update_group
+    assert tr2.cluster.p_weight == pytest.approx(tr.cluster.p_weight)
+    assert meta["extra"]["tag"] == "r2"
+    be.close()

@@ -483,14 +483,11 @@ class CDCTrainer:
         self._resident = self._decide_placement(Xh.nbytes + yh.nbytes)
         if self._resident:
             # device-resident training arrays; the hot loop ships indices
+            # (on a mesh the dataset is replicated on every chip; batches
+            # are index-gathered then sharded by rows inside the steps)
             self.Xhost = self.yhost = None
-            self.Xdev = jnp.asarray(Xh)
-            self.ydev = jnp.asarray(yh)
-            if self.mesh is not None and self.shardings is not None:
-                # dataset replicated on every chip (batches are
-                # index-gathered then sharded by rows inside the steps)
-                self.Xdev = jax.device_put(self.Xdev, self.shardings.replicated())
-                self.ydev = jax.device_put(self.ydev, self.shardings.replicated())
+            self.Xdev = self._dev(Xh, replicate=True)
+            self.ydev = self._dev(yh, replicate=True)
         else:
             # host-stream: the dataset NEVER lives in HBM.  Every dispatch
             # gathers its scheduled rows into one fixed-shape window
@@ -500,6 +497,35 @@ class CDCTrainer:
             # reference requires the whole split on-device, run.py:239).
             self.Xhost, self.yhost = Xh, yh
             self.Xdev = self.ydev = None
+
+    def _dev(self, a, replicate: bool = False):
+        """Host array -> device array usable by the jitted steps.
+
+        Single-process (incl. the one-chip image and virtual CPU meshes):
+        plain ``jnp.asarray`` — or an explicitly replicated ``device_put``
+        when ``replicate`` is set and a mesh is present (datasets and
+        stream windows, which the steps index-gather from).
+
+        On a MULTI-PROCESS mesh every jit argument must be a global
+        ``jax.Array``; assemble a replicated one from the per-process
+        value, which is identical on every process by construction — the
+        entire CDC schedule (domain sampling, batch indices, masks, RNG
+        keys) derives from host RNGs seeded by ``cfg.train.seed``, and
+        every process keeps the full train split host-side.  Same
+        single-process degradation contract as
+        :class:`tpurec.parallel.feed.GlobalBatchFeed`.
+        """
+        if self.mesh is None:
+            return jnp.asarray(a)
+        if jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            a = np.asarray(a)
+            sh = NamedSharding(self.mesh, P(*([None] * a.ndim)))
+            return jax.make_array_from_process_local_data(sh, a)
+        if replicate and self.shardings is not None:
+            return jax.device_put(jnp.asarray(a), self.shardings.replicated())
+        return jnp.asarray(a)
 
     def _feed(self, *idx_arrays):
         """(index schedules) -> (Xsrc, ysrc, *idx_dev) for the jitted steps.
@@ -512,21 +538,21 @@ class CDCTrainer:
         """
         if self._resident:
             return (self.Xdev, self.ydev) + tuple(
-                jnp.asarray(a) for a in idx_arrays)
+                self._dev(a) for a in idx_arrays)
         flat = np.concatenate(
             [np.asarray(a, np.int64).ravel() for a in idx_arrays])
-        Xw = jnp.asarray(self.Xhost[flat])
-        yw = jnp.asarray(self.yhost[flat])
+        Xw = self._dev(self.Xhost[flat], replicate=True)
+        yw = self._dev(self.yhost[flat], replicate=True)
         outs, off = [], 0
         for a in idx_arrays:
-            outs.append(jnp.asarray(
+            outs.append(self._dev(
                 np.arange(off, off + a.size, dtype=np.int32).reshape(a.shape)))
             off += a.size
         return (Xw, yw) + tuple(outs)
 
     @property
     def domain2group_dev(self):
-        return jnp.asarray(self.cluster.domain2group, jnp.int32)
+        return self._dev(np.asarray(self.cluster.domain2group, np.int32))
 
     # ------------------------------------------------------------------
     def _next_idx_padded(self, d: int, width: int):
@@ -558,7 +584,7 @@ class CDCTrainer:
         Xsrc, ysrc, idx_d = self._feed(idx)
         self.state, loss = self._split_step(
             self.state, Xsrc, ysrc,
-            idx_d, jnp.asarray(mask), rng, self.domain2group_dev,
+            idx_d, self._dev(mask), self._dev(rng), self.domain2group_dev,
         )
         return loss
 
@@ -568,7 +594,7 @@ class CDCTrainer:
         Xsrc, ysrc, idxs_d = self._feed(idxs)
         self.state, losses = self._split_scan(
             self.state, Xsrc, ysrc,
-            idxs_d, jnp.asarray(masks), rngs, self.domain2group_dev,
+            idxs_d, self._dev(masks), self._dev(rngs), self.domain2group_dev,
         )
         return losses
 
@@ -606,7 +632,7 @@ class CDCTrainer:
         Xsrc, ysrc, idxs_d = self._feed(idxs)
         self.state, _ = self._split_scan_gated(
             self.state, Xsrc, ysrc,
-            idxs_d, jnp.asarray(masks), jnp.asarray(valids), rngs,
+            idxs_d, self._dev(masks), self._dev(valids), self._dev(rngs),
             self.domain2group_dev,
         )
 
@@ -710,20 +736,23 @@ class CDCTrainer:
                 R, K, W = shape
                 D, bs = self.n_domain, self.cfg.train.bs
                 davals = self._data_avals(R, K, W)
-                Xsrc = (self.Xdev if self._resident
-                        else jnp.zeros(davals[0].shape, jnp.int32))
-                ysrc = (self.ydev if self._resident
-                        else jnp.zeros(davals[1].shape, jnp.float32))
+                # args must carry the REAL call's shardings or the shadow
+                # compiles a different executable: dataset/window arrays
+                # replicated, schedules via the same _dev path as _feed
+                Xsrc = (self.Xdev if self._resident else self._dev(
+                    np.zeros(davals[0].shape, np.int32), replicate=True))
+                ysrc = (self.ydev if self._resident else self._dev(
+                    np.zeros(davals[1].shape, np.float32), replicate=True))
                 state_copy = jax.tree_util.tree_map(jnp.copy, self.state)
                 _, rows = self._populate_rows(
                     state_copy, Xsrc, ysrc,
-                    jnp.zeros((R, K, W), jnp.int32),
-                    jnp.zeros((R, K, W), jnp.float32),
-                    jnp.zeros((R, K), jnp.float32),
-                    jax.random.split(jax.random.PRNGKey(0), R),
-                    jnp.zeros((R, D, bs), jnp.int32),
-                    jnp.zeros((R, D, bs), jnp.float32),
-                    jnp.zeros((D,), jnp.int32),
+                    self._dev(np.zeros((R, K, W), np.int32)),
+                    self._dev(np.zeros((R, K, W), np.float32)),
+                    self._dev(np.zeros((R, K), np.float32)),
+                    self._dev(jax.random.split(jax.random.PRNGKey(0), R)),
+                    self._dev(np.zeros((R, D, bs), np.int32)),
+                    self._dev(np.zeros((R, D, bs), np.float32)),
+                    self._dev(np.zeros((D,), np.int32)),
                 )
                 jax.block_until_ready(rows)
                 # executable lives in the jit cache; mark the shape warm
@@ -777,8 +806,8 @@ class CDCTrainer:
         Xsrc, ysrc, bidx_d, eidx_d = self._feed(bidx, eidx)
         self.state, rows = fn(
             self.state, Xsrc, ysrc,
-            bidx_d, jnp.asarray(bmask), jnp.asarray(bvalid), rngs,
-            eidx_d, jnp.asarray(emask), self.domain2group_dev,
+            bidx_d, self._dev(bmask), self._dev(bvalid), self._dev(rngs),
+            eidx_d, self._dev(emask), self.domain2group_dev,
         )
         return np.asarray(rows, np.float64)
 
@@ -825,7 +854,7 @@ class CDCTrainer:
         st.matrix_A[D] = np.asarray(
             base_fn(
                 self.state.params, self.state.model_state, Xsrc, ysrc,
-                ei_d, jnp.asarray(em), self.domain2group_dev,
+                ei_d, self._dev(em), self.domain2group_dev,
             ),
             np.float64,
         )
@@ -934,7 +963,7 @@ class CDCTrainer:
             Xsrc, ysrc, idxs_d = self._feed(idxs)
             self.state, _ = self._warmup_scan(
                 self.state, Xsrc, ysrc,
-                idxs_d, jnp.asarray(masks), rngs,
+                idxs_d, self._dev(masks), self._dev(rngs),
                 self.domain2group_dev,
             )
 
@@ -991,7 +1020,7 @@ class CDCTrainer:
                 Xsrc, ysrc, idx_d = self._feed(idxs[0])
                 self.state, losses = self._split_step(
                     self.state, Xsrc, ysrc,
-                    idx_d, jnp.asarray(masks[0]), rng,
+                    idx_d, self._dev(masks[0]), self._dev(rng),
                     self.domain2group_dev,
                 )
             else:
@@ -1006,8 +1035,8 @@ class CDCTrainer:
                 Xsrc, ysrc, idxs_d = self._feed(idxs)
                 self.state, losses = self._split_scan_gated(
                     self.state, Xsrc, ysrc,
-                    idxs_d, jnp.asarray(masks),
-                    jnp.asarray(valids), rngs, self.domain2group_dev,
+                    idxs_d, self._dev(masks),
+                    self._dev(valids), self._dev(rngs), self.domain2group_dev,
                 )
                 losses = losses[:span]
             total += float(jnp.sum(losses))
@@ -1085,9 +1114,9 @@ class CDCTrainer:
             s = slice(b0 * bs, (b0 + CH) * bs)
             acc.update(self._predict_split_hist_scan(
                 self.state.params, self.state.model_state,
-                jnp.asarray(Xp[s].reshape(CH, bs, -1), jnp.int32),
-                jnp.asarray(yp[s].reshape(CH, bs)),
-                jnp.asarray(mp[s].reshape(CH, bs)),
+                self._dev(Xp[s].reshape(CH, bs, -1).astype(np.int32)),
+                self._dev(yp[s].reshape(CH, bs)),
+                self._dev(mp[s].reshape(CH, bs)),
                 self.domain2group_dev, *acc.carry))
         pos, neg, lsum, lcnt = acc.totals()
         return streaming_eval_result(
@@ -1102,11 +1131,52 @@ class CDCTrainer:
     def restore_bytes(self, blob: bytes):
         self.state = flax.serialization.from_bytes(self.state, blob)
 
+    def _cluster_payload(self) -> Dict:
+        """Clustering state as a json-able dict — the cluster assignment is
+        part of CDC's checkpoint semantics (run.py:455-457 saves
+        domain2group_list and s_group2domain_list alongside the model)."""
+        return {
+            "domain2group_list": list(self.cluster.domain2group_list),
+            "s_group2domain_list": [list(g) for g in self.cluster.s_group2domain_list],
+            "t_group2domain_list": [list(g) for g in self.cluster.t_group2domain_list],
+            "initial_s_group2domain_list": (
+                [list(g) for g in self.cluster.initial_s_group2domain_list]
+                if self.cluster.initial_s_group2domain_list is not None else None
+            ),
+            "call_update_group": self.cluster.call_update_group,
+            "p_weight": self.cluster.p_weight,
+            "matrices": {
+                "A": self.cluster.matrix_A, "B": self.cluster.matrix_B,
+                "mask": self.cluster.matrix_mask,
+                "causal": self.cluster.matrix_causal,
+            },
+        }
+
+    def _restore_cluster(self, payload: Dict):
+        if getattr(self, "cluster", None) is None:
+            self.cluster = CDCClusterState.create(
+                self.n_domain, self.n_cluster, self.cfg.cdc
+            )
+        st = self.cluster
+        st.domain2group = np.asarray(payload["domain2group_list"], np.int64)
+        st.s_group2domain_list = [list(g) for g in payload["s_group2domain_list"]]
+        st.t_group2domain_list = [list(g) for g in payload["t_group2domain_list"]]
+        init = payload["initial_s_group2domain_list"]
+        st.initial_s_group2domain_list = (
+            [list(g) for g in init] if init is not None else None)
+        st.call_update_group = int(payload["call_update_group"])
+        st.p_weight = float(payload["p_weight"])
+        m = payload["matrices"]
+        # orbax's Json round trip returns nested lists; pickle, ndarrays
+        st.matrix_A = np.asarray(m["A"], np.float64)
+        st.matrix_B = np.asarray(m["B"], np.float64)
+        st.matrix_mask = np.asarray(m["mask"], np.float64)
+        st.matrix_causal = (np.asarray(m["causal"], np.float64)
+                            if m["causal"] is not None else None)
+
     def save_checkpoint(self, path: str, extra: Optional[Dict] = None):
-        """Persist train state + the clustering state — the cluster
-        assignment is part of CDC's checkpoint semantics (run.py:455-457
-        saves domain2group_list and s_group2domain_list alongside the
-        model)."""
+        """Persist train state + the clustering state (single-file pickle;
+        for versioned/async checkpoints see :meth:`make_checkpointer`)."""
         import pickle
 
         from tpurec.train.checkpoint import EMBED_LAYOUT_VERSION
@@ -1122,20 +1192,7 @@ class CDCTrainer:
             "field_dims": list(self.model.field_dims),
             "n_domain": int(self.n_domain),
             "domain_idx": int(self.domain_idx),
-            "domain2group_list": list(self.cluster.domain2group_list),
-            "s_group2domain_list": [list(g) for g in self.cluster.s_group2domain_list],
-            "t_group2domain_list": [list(g) for g in self.cluster.t_group2domain_list],
-            "initial_s_group2domain_list": (
-                [list(g) for g in self.cluster.initial_s_group2domain_list]
-                if self.cluster.initial_s_group2domain_list is not None else None
-            ),
-            "call_update_group": self.cluster.call_update_group,
-            "p_weight": self.cluster.p_weight,
-            "matrices": {
-                "A": self.cluster.matrix_A, "B": self.cluster.matrix_B,
-                "mask": self.cluster.matrix_mask,
-                "causal": self.cluster.matrix_causal,
-            },
+            **self._cluster_payload(),
             "best_result": self.stopper.best_result,
             "extra": extra or {},
             "embed_layout": EMBED_LAYOUT_VERSION,
@@ -1152,21 +1209,36 @@ class CDCTrainer:
             payload = pickle.load(f)
         check_embed_layout_version(payload.get("embed_layout"), path)
         self.restore_bytes(payload["state"])
-        if getattr(self, "cluster", None) is None:
-            self.cluster = CDCClusterState.create(
-                self.n_domain, self.n_cluster, self.cfg.cdc
-            )
-        st = self.cluster
-        st.domain2group = np.asarray(payload["domain2group_list"], np.int64)
-        st.s_group2domain_list = payload["s_group2domain_list"]
-        st.t_group2domain_list = payload["t_group2domain_list"]
-        st.initial_s_group2domain_list = payload["initial_s_group2domain_list"]
-        st.call_update_group = payload["call_update_group"]
-        st.p_weight = payload["p_weight"]
-        m = payload["matrices"]
-        st.matrix_A, st.matrix_B = m["A"], m["B"]
-        st.matrix_mask, st.matrix_causal = m["mask"], m["causal"]
+        self._restore_cluster(payload)
         return payload
+
+    # ------------------------------------------------------------------
+    # versioned / async checkpointing — parity with Trainer.make_checkpointer
+    # (VERDICT round-1 item 7).  With checkpoint_backend='orbax' the array
+    # flush is ASYNC: the CDC train loop (whose matrix updates already
+    # stall it) never waits on checkpoint IO.
+    def make_checkpointer(self, directory: str, max_to_keep: int = 3):
+        """Versioned checkpoint manager (tpurec.train.checkpoint): backend
+        chosen by TrainConfig.checkpoint_backend ('pickle' | 'orbax')."""
+        from tpurec.train.checkpoint import make_backend
+
+        return make_backend(
+            self.cfg.train.checkpoint_backend, directory, max_to_keep
+        )
+
+    def save_versioned(self, backend, step: int, extra: Optional[Dict] = None):
+        """Queue a (possibly async) save of train state + cluster state."""
+        meta = {"cluster": self._cluster_payload(),
+                "best_result": self.stopper.best_result}
+        if extra:
+            meta["extra"] = extra
+        backend.save(step, self.state, meta)
+
+    def load_versioned(self, backend, step: Optional[int] = None) -> Dict:
+        state, meta = backend.restore(self.state, step)
+        self.state = state
+        self._restore_cluster(meta["cluster"])
+        return meta
 
     def fit(self, train, valid, test=None, log_fn=None) -> Dict:
         self.setup_data(train, valid, test)
