@@ -33,15 +33,25 @@ def setup_workdir():
                 "from tpurec.data.preprocess import reduce_mem  # noqa\n")
 
 
-def gen_data():
+def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None):
+    """Shared amazon-format CSV.  Defaults = the round-1 30k/6-domain set;
+    --rows/--domains/--vocab grow it to reference-scale shape (Amazon = 25
+    domains, run.py:51 schema) while keeping both sides on the same file."""
     sys.path.insert(0, REPO)
     import numpy as np
     import pandas as pd
 
     from tpurec.data import make_synthetic
 
-    data = make_synthetic(n_rows=30000, n_fields=8, n_domain=6, domain_idx=3,
-                          seed=11)
+    field_dims = None
+    if user_vocab or item_vocab:
+        # userid, itemid, weekday, domain, sales_chart, sales_rank, brand,
+        # price — the reference's amazon columns (run.py:51)
+        field_dims = (user_vocab or 30000, item_vocab or 100000, 7, n_domain,
+                      40, 28, 5000, 28)
+    data = make_synthetic(n_rows=n_rows, n_fields=8, n_domain=n_domain,
+                          domain_idx=3, seed=11, domain_skew=1.2,
+                          field_dims=field_dims)
     cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
             "sales_rank", "brand", "price"]
     ts = np.zeros(len(data.y), np.int64)
@@ -150,13 +160,23 @@ def main():
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--rows", type=int, default=30000)
+    ap.add_argument("--domains", type=int, default=6)
+    ap.add_argument("--user_vocab", type=int, default=None)
+    ap.add_argument("--item_vocab", type=int, default=None)
+    # 'cpu' keeps both sides on identical hardware; 'default' lets ours
+    # run on the TPU (AUC parity is hardware-independent — only wall-clock
+    # differs, and big-shape reference runs already take tens of minutes)
+    ap.add_argument("--ours_platform", default="cpu",
+                    choices=["cpu", "default"])
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.ours_platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     setup_workdir()
-    csv = gen_data()
+    csv = gen_data(args.rows, args.domains, args.user_vocab, args.item_vocab)
     for m in args.models.split(","):
         # reference epnet/hinet squeeze their n_tower=1 output and crash
         # under mix (run.py:484); their working config is group split

@@ -93,3 +93,36 @@ def test_field_attention_paths_share_params_and_eval_output(rng):
                                   sorted(flat_f, key=lambda t: str(t[0]))):
         np.testing.assert_allclose(np.array(v1), np.array(v2),
                                    err_msg=str(p1))
+
+
+def test_layered_fwd_matches_oracle(rng, weights):
+    from tpurec.ops.attention_pallas import fused_field_attention_layered
+
+    emb = jnp.asarray(rng.normal(size=(B, F, D)), jnp.float32)
+    y = fused_field_attention_layered(emb, weights, 0, L, H, 0.0, False, 16,
+                                      True)
+    yr = field_attention_reference(emb, weights, L, H)
+    np.testing.assert_allclose(np.array(y), np.array(yr), atol=1e-5)
+
+
+def test_layered_grads_match_oracle(rng, weights):
+    from tpurec.ops.attention_pallas import fused_field_attention_layered
+
+    emb = jnp.asarray(rng.normal(size=(28, F, D)), jnp.float32)  # ragged tile
+
+    def loss_k(emb, flat):
+        return jnp.sum(
+            fused_field_attention_layered(emb, flat, 0, L, H, 0.0, False, 16,
+                                          True) ** 2)
+
+    def loss_r(emb, flat):
+        return jnp.sum(field_attention_reference(emb, flat, L, H) ** 2)
+
+    g1 = jax.grad(loss_k, argnums=(0, 1))(emb, weights)
+    g2 = jax.grad(loss_r, argnums=(0, 1))(emb, weights)
+    scale = float(jnp.max(jnp.abs(g2[0])))
+    np.testing.assert_allclose(np.array(g1[0]), np.array(g2[0]),
+                               atol=2e-5 * scale)
+    for a, b in zip(g1[1], g2[1]):
+        s = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.array(a), np.array(b), atol=2e-5 * s)

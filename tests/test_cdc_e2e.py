@@ -33,6 +33,7 @@ def _cfg(base_model="mmoe"):
     )
 
 
+@pytest.mark.slow
 def test_cdc_mmoe_end_to_end(data):
     cfg = _cfg("mmoe")
     tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
@@ -51,6 +52,7 @@ def test_cdc_mmoe_end_to_end(data):
     assert np.abs(tr.cluster.old_matrix_A).sum() > 0
 
 
+@pytest.mark.slow
 def test_cdc_streaming_eval_matches_exact(data):
     """CDC's on-device histogram eval matches the exact split-mode eval."""
     cfg = _cfg("mmoe")
@@ -66,6 +68,7 @@ def test_cdc_streaming_eval_matches_exact(data):
         assert abs(stream["domain_auc"][d] - exact["domain_auc"][d]) < 2e-3
 
 
+@pytest.mark.slow
 def test_cdc_snapshot_rollback_restores_params(data):
     cfg = _cfg("mmoe")
     tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
@@ -89,6 +92,7 @@ def test_cdc_snapshot_rollback_restores_params(data):
     assert all(np.allclose(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
+@pytest.mark.slow
 def test_cdc_checkpoint_roundtrip(tmp_path, data):
     cfg = _cfg("mmoe")
     tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
@@ -116,6 +120,7 @@ def test_cdc_checkpoint_roundtrip(tmp_path, data):
     assert tr2.cluster.call_update_group == 3
 
 
+@pytest.mark.slow
 def test_cdc_sharded_matches_single(data):
     """CDC on a (4,2) mesh (data-parallel bursts, row-sharded table) must
     produce the same matrices and clustering as single-device — GSPMD
@@ -158,6 +163,7 @@ def _with_placement(cfg, placement):
         cfg, cdc=dataclasses.replace(cfg.cdc, data_placement=placement))
 
 
+@pytest.mark.slow
 def test_cdc_stream_placement_matches_resident(data):
     """data_placement='stream' (dataset in HOST memory, per-dispatch row
     windows) must reproduce the resident path bit-for-bit: same host RNG
@@ -190,6 +196,7 @@ def test_cdc_stream_placement_matches_resident(data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cdc_stream_full_fit(data):
     """End-to-end CDC fit in stream placement: warmup scan, matrix
     updates, split training spans and eval all run off host windows."""
@@ -202,6 +209,7 @@ def test_cdc_stream_full_fit(data):
     assert out["valid"]["total_auc"] > 0.55
 
 
+@pytest.mark.slow
 def test_cdc_mesh_stream_matches_single(data):
     """CDC with BOTH a (4,2) mesh and stream placement (the pod-scale
     configuration: dataset in host RAM, windows replicated, bursts
@@ -238,6 +246,7 @@ def test_cdc_mesh_stream_matches_single(data):
         sharded.state.params["embedding"]["table"].sharding.spec)
 
 
+@pytest.mark.slow
 def test_cdc_placement_auto_rules(data):
     cfg = _cfg("mmoe")
     tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
@@ -256,6 +265,7 @@ def test_cdc_placement_auto_rules(data):
     assert trm._decide_placement(1 << 20)
 
 
+@pytest.mark.slow
 def test_cdc_auc_metric_mode(data):
     """use_metric='auc' (config.py:52 / cdc.py:113-119): matrices are
     populated with per-domain AUC (higher=better) and clustering still
@@ -275,6 +285,7 @@ def test_cdc_auc_metric_mode(data):
     assert len(labels) == data.n_domain and set(labels) <= {0, 1}
 
 
+@pytest.mark.slow
 def test_warm_compile_cache_invalidated_on_new_dataset(data):
     """The AOT populate executables bake in the DATASET shapes; a second
     setup_data with different-size arrays must not reuse them (regression:

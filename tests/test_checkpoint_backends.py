@@ -101,6 +101,7 @@ def test_trainer_versioned_roundtrip(tmp_path, kind):
 
 
 @pytest.mark.parametrize("kind", ["pickle", "orbax"])
+@pytest.mark.slow
 def test_cdc_versioned_roundtrip(tmp_path, kind):
     """CDCTrainer versioned checkpoints carry the cluster state (matrices,
     assignments, p_weight) through both backends — parity with Trainer

@@ -29,6 +29,7 @@ def test_build_config_roundtrip():
     assert cfg.train.lr == 0.01
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_with_domain_filter(capsys, tmp_path):
     out = main([
         "--model", "deepfm", "--dataset_name", "synthetic",

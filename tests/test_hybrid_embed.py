@@ -112,6 +112,7 @@ def test_hybrid_scan_matches_single_steps():
         np.array(st_b.params["embedding"]["table"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainer_hybrid_end_to_end():
     """Trainer with embedding_update='hybrid' (the default) learns."""
     from tpurec.data import make_synthetic

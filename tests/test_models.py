@@ -37,6 +37,7 @@ def _make_inputs(rng):
 
 
 @pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+@pytest.mark.slow
 def test_model_shapes_and_grads(name, rng):
     x, group = _make_inputs(rng)
     model = build_model(name, FIELD_DIMS, N_TOWER, DOMAIN_IDX, SMALL_CFG)
@@ -76,6 +77,7 @@ def test_model_shapes_and_grads(name, rng):
     assert np.abs(g_emb).sum() > 0
 
 
+@pytest.mark.slow
 def test_row_mask_padding_invariance(rng):
     """Appending padded rows (mask=0) must not change real rows' outputs in
     train mode (the fixed-shape replacement for variable tail batches)."""
@@ -117,6 +119,7 @@ def test_row_mask_padding_invariance(rng):
     )
 
 
+@pytest.mark.slow
 def test_adl_updates_centers_only_in_train(rng):
     x, group = _make_inputs(rng)
     model = build_model("adl", FIELD_DIMS, N_TOWER, DOMAIN_IDX, SMALL_CFG)

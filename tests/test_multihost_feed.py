@@ -73,6 +73,7 @@ def test_global_batch_validates_divisibility_and_size():
         feed.global_array(np.zeros((8, 2)), 16)  # partial local batch
 
 
+@pytest.mark.slow
 def test_multihost_epoch_matches_host_epoch_single_process():
     """On a 1-process mesh the multihost epoch runs the exact host-path
     batch schedule (same rng) through explicitly data-sharded global
@@ -148,6 +149,7 @@ def test_dataset_range_single_process_covers_all():
     assert blocks == list(range(feed.n_data))
 
 
+@pytest.mark.slow
 def test_multihost_streaming_eval_matches_local():
     """evaluate_streaming_multihost on a 1-process mesh must reproduce the
     local evaluate_streaming result exactly (same histograms, assembled

@@ -63,6 +63,7 @@ def _make(compute_dtype, model="mmoe"):
     return tr, data
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_f32():
     tr32, data = _make("float32")
     trbf, _ = _make("bfloat16")
@@ -82,6 +83,7 @@ def test_bf16_forward_close_to_f32():
     assert rho > 0.999
 
 
+@pytest.mark.slow
 def test_bf16_trains_and_coexists_with_f32():
     # build bf16 trainer FIRST, then f32: if the policy leaked from a live
     # global instead of being baked per-trace, the f32 trainer (traced

@@ -69,6 +69,7 @@ def test_scan_equals_sequential_steps():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cdc_gated_scan_discards_invalid_steps():
     data = make_synthetic(n_rows=3000, n_fields=5, n_domain=4, domain_idx=3, seed=2)
     cfg = Config(

@@ -118,6 +118,7 @@ def test_predictor_checkpoint_roundtrip(tmp_path, data, trained):
     np.testing.assert_allclose(via_ckpt(X), via_live(X), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_predictor_serves_cdc_checkpoint(tmp_path):
     from tpurec.cdc import CDCTrainer
 
@@ -216,6 +217,7 @@ def test_predictor_matches_bf16_compute_eval(data):
     np.testing.assert_allclose(pred(X), oracle, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_predictor_serves_extension_models(tmp_path, data):
     """The serving path is model-agnostic: the zoo-extension single-head
     models round-trip through a self-describing checkpoint and match the
@@ -242,6 +244,7 @@ def test_predictor_serves_extension_models(tmp_path, data):
         np.testing.assert_allclose(pred(X), want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_predictor_applies_checkpoint_hash_spec(tmp_path, data):
     """A hash-trained checkpoint serves RAW ids: the Predictor applies the
     config's hash spec exactly like the training load path, so huge/unseen

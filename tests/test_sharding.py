@@ -53,6 +53,7 @@ def _setup(mesh=None, shardings=None):
     return state, batch, step
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device_losses():
     assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
     # single device
@@ -79,6 +80,7 @@ def test_sharded_matches_single_device_losses():
     np.testing.assert_allclose(t_single, t_mesh, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_embedding_table_row_sharded_across_model_axis():
     mesh = make_mesh(4, 2)
     shardings = Shardings(mesh)
@@ -100,6 +102,7 @@ def test_embedding_table_row_sharded_across_model_axis():
     assert w.sharding.spec == P()
 
 
+@pytest.mark.slow
 def test_expert_parallel_matches_single_device():
     """expert_parallel=True shards the MMoE expert bank's leading axis over
     the model axis (default n_expert=4 divides n_model=2) without changing

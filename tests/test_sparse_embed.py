@@ -113,6 +113,7 @@ def test_sparse_step_untouched_rows_frozen(rng):
     assert not np.allclose(table0[touched], table1[touched])
 
 
+@pytest.mark.slow
 def test_sparse_learns_e2e():
     from tpurec.data import make_synthetic
     from tpurec.train.step import bce_with_logits

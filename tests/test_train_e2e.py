@@ -48,6 +48,7 @@ def test_deepfm_learns(data):
     assert np.isfinite(out["valid"]["total_loss"])
 
 
+@pytest.mark.slow
 def test_multitower_learns_with_group_routing(data):
     # split grouping: one tower per domain (config.py:63 'split' strategy)
     cfg = _cfg("mmoe", epoch=2)
@@ -61,6 +62,7 @@ def test_multitower_learns_with_group_routing(data):
     assert out["valid"]["mean_auc"] > 0.55
 
 
+@pytest.mark.slow
 def test_streaming_eval_matches_exact(data):
     """evaluate_streaming (on-device histograms, SURVEY §7 hard part 5)
     matches the exact host-side eval: AUC within the O(1/n_bins) binning
@@ -110,6 +112,7 @@ def test_early_stop_and_checkpoint(tmp_path, data):
     assert r1["total_auc"] == pytest.approx(r2["total_auc"], abs=1e-9)
 
 
+@pytest.mark.slow
 def test_device_resident_epoch_matches_host_path(data):
     """The device-resident indexed epoch and the host-batching epoch share
     the batch schedule exactly; with dropout=0 their losses and params are
@@ -146,6 +149,7 @@ def test_device_resident_epoch_matches_host_path(data):
     assert ev_d["total_auc"] == pytest.approx(ev_h["total_auc"], abs=2e-3)
 
 
+@pytest.mark.slow
 def test_fit_reproducible_same_seed(data):
     """Two Trainer runs with the same seed produce bit-identical parameters
     and metrics (full determinism: init, shuffle schedule, dropout bits)."""
@@ -167,6 +171,7 @@ def test_fit_reproducible_same_seed(data):
         np.testing.assert_array_equal(a, b, err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow
 def test_predict_matches_evaluate_ordering(data):
     """Trainer.predict returns the same probabilities evaluate scores."""
     from tpurec.metrics import auc_score

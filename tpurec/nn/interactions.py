@@ -265,11 +265,13 @@ class FieldAttention(nn.Module):
     ``fused=True`` runs the Pallas fused-stack kernel
     (tpurec.ops.attention_pallas — the whole stack in VMEM); both paths
     share one parameter layout, eval outputs are bit-identical (dropout
-    bits differ, as between any two dropout implementations).  The kernel
-    is EXPERIMENTAL and off by default: correct (interpret-mode oracle
-    tests), but Mosaic currently takes minutes to compile the unrolled
-    3-layer stack of [Bt,F,F] batched dots at these shapes, which makes
-    it unusable in practice until restructured (see the module docstring).
+    bits differ, as between any two dropout implementations).  The
+    kernels stay OFF by default on measured evidence, not as a TODO:
+    the restructured per-layer generation compiles fast and matches
+    grads on-chip, but is MXU-latency-bound on the tiny per-(row, head)
+    dots and runs 2.87 ms/step vs this jnp path's 1.04 under XLA at
+    bench shapes — XLA's batched-GEMM fusion wins at CTR field counts
+    (F~23).  See tpurec/ops/attention_pallas.py STATUS for the numbers.
     """
 
     atten_embed_dim: int
