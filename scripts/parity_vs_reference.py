@@ -87,19 +87,122 @@ def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None):
     return csv
 
 
-def run_reference(model: str, epochs: int, strategy: str = "mix", seed: int = 7):
+def gen_data_aliccp(n_rows: int):
+    """Raw Ali-CCP-format files for the REFERENCE's own aliccp pipeline:
+    gen_raw (scripts/run_e2e_aliccp.py) -> convert_raw_aliccp ->
+    WORK/dataset/aliccp/ali_ccp_{train,val,test}.csv.  The reference then
+    runs ITS preprocessing (KBins + filtering + 50-domain sampling,
+    preprocess.py:253-414) and both sides train on its output CSV."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
+    import pandas as pd
+
+    from run_e2e_aliccp import gen_raw
+    from tpurec.data.preprocess import convert_raw_aliccp
+
+    d = f"{WORK}/dataset/aliccp"
+    os.makedirs(d, exist_ok=True)
+    train_csv, val_csv = f"{d}/ali_ccp_train.csv", f"{d}/ali_ccp_val.csv"
+    test_csv = f"{d}/ali_ccp_test.csv"
+    if not os.path.exists(test_csv):
+        skel, common = gen_raw(d, n_rows)
+        convert_raw_aliccp(skel, common, train_csv, val_fraction=0.5,
+                           val_out_csv=val_csv)
+        va = pd.read_csv(val_csv)
+        va.iloc[: len(va) // 2].to_csv(val_csv, index=False)
+        va.iloc[len(va) // 2:].to_csv(test_csv, index=False)
+    return d
+
+
+# the reference's aliccp feature order (run.py:54-58); domain_idx = 10
+ALICCP_X_COLS = ["userid", "121", "122", "124", "125", "126", "127", "128",
+                 "129", "itemid", "domain", "207", "210", "216", "508",
+                 "509", "702", "853", "109_14", "110_14", "127_14",
+                 "150_14", "301"]
+
+
+def ensure_aliccp_caches(pre_csv: str):
+    """Pre-tensorize the reference's preprocessed CSV into the .pth caches
+    its loader requires: with no --domain_filter, read_split_data returns
+    data=None (run.py:141-143) and convert2data_loader can only proceed
+    from cached tensors (run.py:212-218)."""
+    import pandas as pd
+    import torch
+
+    folder = pre_csv.split(".csv")[0]
+    if os.path.exists(os.path.join(folder, "test_label_loader.pth")):
+        return
+    os.makedirs(folder, exist_ok=True)
+    df = pd.read_csv(pre_csv)
+    for mode, tag in (("train", 0), ("valid", 1), ("test", 2)):
+        d = df[df["train_tag"] == tag]
+        torch.save(torch.tensor(d[ALICCP_X_COLS].values, dtype=torch.int),
+                   os.path.join(folder, f"{mode}_data_loader.pth"))
+        torch.save(torch.tensor(d[["click"]].values, dtype=torch.short),
+                   os.path.join(folder, f"{mode}_label_loader.pth"))
+
+
+def run_ours_aliccp(model: str, epochs: int, csv: str, seed: int = 7):
+    """Train tpurec on the REFERENCE's preprocessed aliccp CSV (identical
+    rows, split by its train_tag column)."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import pandas as pd
+
+    from tpurec.config import Config, ModelConfig, TrainConfig
+    from tpurec.train import Trainer
+
+    df = pd.read_csv(csv)
+    X = df[ALICCP_X_COLS].values.astype(np.int64)
+    # guard negative/missing -> 0 (reference reduce_mem keeps ints)
+    X = np.maximum(X, 0).astype(np.int32)
+    y = df["click"].values.astype(np.float32)
+    tag = df["train_tag"].values
+    tr_m, va_m, te_m = tag == 0, tag == 1, tag == 2
+    field_dims = tuple(int(v) + 1 for v in X.max(0))
+    n_domain = field_dims[10]
+    w = np.bincount(X[tr_m][:, 10], minlength=n_domain).astype(float)
+    w /= w.sum()
+
+    kw = dict(embed_dim=16, dropout=0.2, use_atten=True, atten_embed_dim=64,
+              att_layer_num=3, att_head_num=2)
+    per_model = {
+        "mmoe": dict(mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32)),
+        "dcnv2": dict(mlp_dims=(256, 128, 64)),
+        "autoint": dict(mlp_dims=(256, 128, 64)),
+        "ple": dict(ple_expert_dims=((256, 128), (64,)), ple_tower_dims=(64, 32)),
+    }
+    mcfg = ModelConfig(model=model, **kw, **per_model.get(model, {}))
+    cfg = Config(model=mcfg, train=TrainConfig(bs=512, epoch=epochs, seed=seed))
+    d2g = np.zeros(n_domain, np.int64)  # reference default strategy 'mix'
+    tr = Trainer(cfg, field_dims, n_domain, 10, domain2group=d2g)
+    out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
+                 test=(X[te_m], y[te_m]), domain_cnt_weight=w)
+    print(f"OURS {model} (seed {seed}): valid_auc={out['valid']['total_auc']:.4f} "
+          f"valid_mean_auc={out['valid']['mean_auc']:.4f} "
+          f"test_auc={out['test']['total_auc']:.4f}", flush=True)
+    return out
+
+
+def run_reference(model: str, epochs: int, strategy: str = "mix", seed: int = 7,
+                  dataset: str = "amazon"):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{WORK}/wandb_stub:{WORK}:/root/reference"
     cmd = [sys.executable, "/root/reference/main.py", "--model", model,
-           "--dataset_name", "amazon", "--bs", "512", "--embed_dim", "16",
+           "--dataset_name", dataset, "--bs", "512", "--embed_dim", "16",
            "--epoch", str(epochs), "--lr", "1e-3", "--is_set_seed", "1",
            "--seed", str(seed), "--group_strategy", strategy]
     r = subprocess.run(cmd, cwd=WORK, env=env, capture_output=True,
-                       text=True, timeout=3600)
+                       text=True, timeout=14400)
     lines = [l for l in r.stdout.splitlines() if "validation" in l]
     print(f"REFERENCE {model} (seed {seed}):")
     for l in lines:
         print("   ", l)
+    if not lines:
+        print("    (no validation lines; stderr tail:)")
+        for l in r.stderr.splitlines()[-6:]:
+            print("   ", l)
+    sys.stdout.flush()
     return lines
 
 
@@ -169,6 +272,8 @@ def main():
     # differs, and big-shape reference runs already take tens of minutes)
     ap.add_argument("--ours_platform", default="cpu",
                     choices=["cpu", "default"])
+    ap.add_argument("--dataset", default="amazon",
+                    choices=["amazon", "aliccp"])
     args = ap.parse_args()
 
     import jax
@@ -176,6 +281,32 @@ def main():
     if args.ours_platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     setup_workdir()
+    if args.dataset == "aliccp":
+        d = gen_data_aliccp(args.rows)
+        pre_csv = os.path.join(
+            d, "thresh10_ndomain50_modemix_interval_random.csv")
+        if not os.path.exists(pre_csv) and not args.skip_reference:
+            # first invocation runs the REFERENCE's own preprocessing
+            # (writes pre_csv), then dies at its cache-only loader quirk —
+            # expected; we then build the caches it needs
+            run_reference(args.models.split(",")[0], 1, "mix", args.seed,
+                          "aliccp")
+        if os.path.exists(pre_csv):
+            ensure_aliccp_caches(pre_csv)
+        for m in args.models.split(","):
+            if not args.skip_reference:
+                try:
+                    run_reference(m, args.epochs, "mix", args.seed, "aliccp")
+                except Exception as e:
+                    print(f"REFERENCE {m} errored: {e}")
+            if not args.skip_ours:
+                if not os.path.exists(pre_csv):
+                    raise SystemExit(
+                        "aliccp mode trains ours on the REFERENCE's "
+                        f"preprocessed CSV; {pre_csv} missing — run without "
+                        "--skip_reference first")
+                run_ours_aliccp(m, args.epochs, pre_csv, args.seed)
+        return
     csv = gen_data(args.rows, args.domains, args.user_vocab, args.item_vocab)
     for m in args.models.split(","):
         # reference epnet/hinet squeeze their n_tower=1 output and crash

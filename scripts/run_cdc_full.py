@@ -96,7 +96,7 @@ def main():
     tr.save_checkpoint(ckpt)
     from tpurec.serve import predictor_from_checkpoint
 
-    pred = predictor_from_checkpoint(ckpt, batch_size=4096)
+    pred = predictor_from_checkpoint(ckpt, batch_sizes=(4096,))
     probs = pred(data.test[0][:4096])
     print(f"serve roundtrip: checkpoint {os.path.getsize(ckpt)/2**20:.0f}MB, "
           f"{len(probs)} probs, finite={np.all(np.isfinite(probs))}")

@@ -70,6 +70,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     # target re-assignment mode (cdc.py:121 update_group(mode=...))
     p.add_argument("--cluster_mode", default="iterative",
                    choices=["iterative", "greedy"])
+    # where the CDC train split lives (CDCConfig.data_placement):
+    # resident=HBM, stream=host-RAM windows (beyond-HBM datasets),
+    # auto=resident while it fits the budget
+    p.add_argument("--data_placement", default="auto",
+                   choices=["auto", "resident", "stream"])
     # synthetic-data knobs
     p.add_argument("--n_domain", type=int, default=6)
     p.add_argument("--n_rows", type=int, default=50000)
@@ -122,6 +127,7 @@ def build_config(args: argparse.Namespace) -> Config:
             old_matrix_weight=args.old_matrix_weight,
             use_metric=args.use_metric,
             cluster_mode=args.cluster_mode,
+            data_placement=args.data_placement,
         ),
         train=TrainConfig(
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
