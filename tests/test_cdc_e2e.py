@@ -286,6 +286,24 @@ def test_cdc_auc_metric_mode(data):
 
 
 @pytest.mark.slow
+def test_fit_warms_the_scaled_populate_shapes(data):
+    """fit() must warm-compile with the SAME batch-size-scaled burst
+    length train_cdc_epoch later passes to update_matrix_cdc
+    (run.py:601-604 scaling) — a raw cfg value warms the wrong shapes
+    and the first matrix update pays the serial compiles anyway."""
+    cfg = _cfg("mmoe")  # bs=128 -> scaled step = 1*1024//128 = 8 != cfg 1
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    seen = []
+    tr.warm_compile = lambda k: seen.append(k)
+    tr.update_matrix_cdc = lambda k: seen.append(("update", k))
+    tr.fit(data.train, data.valid)
+    scaled = tr._scaled_update_matrix_step()
+    assert scaled == 8
+    assert seen[0] == scaled
+    assert all(k == scaled for (_, k) in seen[1:])
+
+
+@pytest.mark.slow
 def test_warm_compile_cache_invalidated_on_new_dataset(data):
     """The AOT populate executables bake in the DATASET shapes; a second
     setup_data with different-size arrays must not reuse them (regression:

@@ -43,10 +43,41 @@ from tpurec.metrics import (auc_score, evaluate_multi_domain,
 from tpurec.models import CDC_BASE_MODELS, MULTI_TOWER_OUTPUT, build_model
 from tpurec.nn.precision import compute_dtype as _precision_scope
 from tpurec.train.hybrid import EmbeddingUpdater
-from tpurec.train.loop import EarlyStopper
+from tpurec.train.loop import EarlyStopper, use_streaming_eval
 from tpurec.train.reg import reg_coef_tree, regularization_loss
 from tpurec.train.sparse import init_sparse_opt_state
 from tpurec.train.step import TrainState, bce_on_probs, bce_with_logits, make_optimizer
+
+
+class _DaemonBuild:
+    """Future-lite running ``fn(*args)`` on a DAEMON thread.
+
+    warm_compile's builds take minutes on the remote TPU compiler;
+    ThreadPoolExecutor threads are non-daemon and joined at interpreter
+    exit, so an orphaned build (early stop, exception, fresh setup_data)
+    would block process exit until the useless compile finished."""
+
+    def __init__(self, fn, *args):
+        import threading
+
+        self._done = threading.Event()
+        self._res = self._exc = None
+
+        def run():
+            try:
+                self._res = fn(*args)
+            except BaseException as e:  # surfaced via result()
+                self._exc = e
+            finally:
+                self._done.set()
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def result(self):
+        self._done.wait()
+        if self._exc is not None:
+            raise self._exc
+        return self._res
 
 
 class CDCTrainer:
@@ -710,7 +741,10 @@ class CDCTrainer:
         """Warm the three populate shapes CONCURRENTLY — the first matrix
         update otherwise pays ~3 serial multi-minute compiles.  fit()
         calls this before the warmup phase so the compiles also overlap
-        warmup training.
+        warmup training.  ``update_matrix_step`` must be the SCALED value
+        actually passed to update_matrix_cdc (train_cdc_epoch's
+        ``*1024//bs`` reference scaling, run.py:601-604) or the warmed
+        shapes miss the cache.
 
         Single device: AOT-lower + compile (the remote compiler
         parallelizes; measured ~2x for 2 threads).  On a mesh, AOT avals
@@ -725,14 +759,14 @@ class CDCTrainer:
         if not shapes:
             return
 
-        import concurrent.futures
-
         if self.mesh is None:
-            def build(shape):
+            def build(shape, _state_copy=None):
                 return shape, self._populate_rows.lower(
                     *self._populate_avals(*shape)).compile()
+
+            state_copies = {s: None for s in shapes}
         else:
-            def build(shape):
+            def build(shape, state_copy):
                 R, K, W = shape
                 D, bs = self.n_domain, self.cfg.train.bs
                 davals = self._data_avals(R, K, W)
@@ -743,7 +777,6 @@ class CDCTrainer:
                     np.zeros(davals[0].shape, np.int32), replicate=True))
                 ysrc = (self.ydev if self._resident else self._dev(
                     np.zeros(davals[1].shape, np.float32), replicate=True))
-                state_copy = jax.tree_util.tree_map(jnp.copy, self.state)
                 _, rows = self._populate_rows(
                     state_copy, Xsrc, ysrc,
                     self._dev(np.zeros((R, K, W), np.int32)),
@@ -758,11 +791,33 @@ class CDCTrainer:
                 # executable lives in the jit cache; mark the shape warm
                 return shape, self._populate_rows
 
-        ex = concurrent.futures.ThreadPoolExecutor(max_workers=len(shapes))
+            # Copy the state on the MAIN thread, one copy per shape (the
+            # shadow call donates its state arg): the training loop's
+            # donating steps delete self.state's buffers, so a background
+            # tree_map over self.state would race them ("Array deleted").
+            state_copies = {
+                s: jax.tree_util.tree_map(jnp.copy, self.state)
+                for s in shapes
+            }
+            if jax.process_count() > 1:
+                # Multi-process meshes must launch collective programs in
+                # the same order on every process; background shadow
+                # executions interleaved with training steps would order
+                # differently per process and can deadlock.  Run the
+                # shadow calls synchronously instead (still before warmup,
+                # so the first matrix update doesn't pay them).
+                for s in shapes:
+                    try:
+                        self._populate_exec[s] = build(s, state_copies[s])[1]
+                    except Exception as e:
+                        import warnings
+
+                        warnings.warn(f"CDC warm_compile failed ({e!r})")
+                return
+
         for s in shapes:
             self._warm_inflight.add(s)
-            self._warm_futures.append(ex.submit(build, s))
-        ex.shutdown(wait=False)
+            self._warm_futures.append(_DaemonBuild(build, s, state_copies[s]))
 
     def _sync_populate_cache(self):
         """Drop warm populate executables compiled against a DIFFERENT
@@ -940,14 +995,19 @@ class CDCTrainer:
                 pass
 
     # ------------------------------------------------------------------
+    def _scaled_update_matrix_step(self) -> int:
+        """The reference's batch-size normalization of the burst length
+        (run.py:601-604): cfg values are calibrated for bs=1024."""
+        ccfg = self.cfg.cdc
+        if ccfg.update_matrix_step == 0:
+            return 0
+        return max(1, (ccfg.update_matrix_step * 1024) // self.cfg.train.bs)
+
     def train_cdc_epoch(self, epoch_i: int, log_fn=None) -> float:
         """One CDC epoch (run.py:596-645)."""
         tcfg, ccfg = self.cfg.train, self.cfg.cdc
         warmup_step = max(5, (ccfg.warmup_step * 1024) // tcfg.bs)
-        update_matrix_step = (
-            max(1, (ccfg.update_matrix_step * 1024) // tcfg.bs)
-            if ccfg.update_matrix_step != 0 else 0
-        )
+        update_matrix_step = self._scaled_update_matrix_step()
         update_interval = (ccfg.update_interval * 1024) // tcfg.bs
 
         if epoch_i == 0:
@@ -1067,10 +1127,7 @@ class CDCTrainer:
 
     @property
     def _use_streaming_eval(self) -> bool:
-        """eval_streaming=None = auto: streaming (no host prediction
-        gather) whenever running on a mesh (see Trainer)."""
-        es = self.cfg.train.eval_streaming
-        return (self.mesh is not None) if es is None else bool(es)
+        return use_streaming_eval(self.cfg, self.mesh)
 
     def evaluate(self, batcher: DomainBatcher) -> Dict:
         """Split-mode eval (run.py:653-661).  Rows are routed per-row by
@@ -1244,8 +1301,9 @@ class CDCTrainer:
         self.setup_data(train, valid, test)
         # kick the populate-shape compiles off in the background: they
         # overlap the warmup phase and each other (remote compiler is
-        # parallel), so the first matrix update doesn't stall on them
-        self.warm_compile(self.cfg.cdc.update_matrix_step)
+        # parallel), so the first matrix update doesn't stall on them.
+        # MUST be the scaled step count or the warmed shapes miss.
+        self.warm_compile(self._scaled_update_matrix_step())
         eval_fn = (self.evaluate_streaming if self._use_streaming_eval
                    else self.evaluate)
         best_cluster = None

@@ -48,6 +48,15 @@ from tpurec.train.step import (
 )
 
 
+def use_streaming_eval(cfg, mesh) -> bool:
+    """eval_streaming=None means auto: histogram (no-host-gather) eval
+    whenever running on a mesh — the exact eval's full prediction gather
+    is the wrong default for a sharded run.  Single rule shared by
+    Trainer and CDCTrainer."""
+    es = cfg.train.eval_streaming
+    return (mesh is not None) if es is None else bool(es)
+
+
 class EarlyStopper:
     """mean_auc-keyed early stopping with patience (run.py:440-468)."""
 
@@ -442,11 +451,7 @@ class Trainer:
 
     @property
     def _use_streaming_eval(self) -> bool:
-        """eval_streaming=None means auto: histogram (no-host-gather) eval
-        whenever running on a mesh — the exact eval's full prediction
-        gather is the wrong default for a sharded run."""
-        es = self.cfg.train.eval_streaming
-        return (self.mesh is not None) if es is None else bool(es)
+        return use_streaming_eval(self.cfg, self.mesh)
 
     def evaluate(self, X: np.ndarray, y: np.ndarray,
                  domain_cnt_weight: Optional[np.ndarray] = None) -> Dict:
@@ -474,14 +479,17 @@ class Trainer:
         use tpurec.serve.Predictor."""
         if X.shape[0] == 0:
             return np.zeros(0, np.float32)
+        zero_y_nbytes = X.shape[0] * 4
+        resident = X.nbytes + zero_y_nbytes <= self.DEVICE_RESIDENT_BYTES
         if _y_for_cache is not None:
             y = _y_for_cache
-        else:
+        elif resident:
             # reuse ONE zero-label array per X so the device-dataset cache
             # key (id(X), shape, id(y)) repeats across predict(X) calls —
             # a fresh zeros() every call would re-upload X each time.
             # Values hold a reference to X: id() keys are only valid while
-            # the keyed object is alive.
+            # the keyed object is alive.  Host-batching (oversized) inputs
+            # skip the cache: it would pin X for nothing.
             zc = getattr(self, "_zero_y_cache", None)
             if zc is None:
                 zc = self._zero_y_cache = {}
@@ -492,8 +500,10 @@ class Trainer:
                     zc.pop(next(iter(zc)))
                 ent = zc[key] = (X, np.zeros(X.shape[0], np.float32))
             y = ent[1]
+        else:
+            y = np.zeros(X.shape[0], np.float32)
         bs = self.cfg.train.bs
-        if X.nbytes + y.nbytes <= self.DEVICE_RESIDENT_BYTES:
+        if resident:
             # device-resident: gather batches by index on device, predict
             # EVAL_CHUNK batches per dispatch, one host fetch per chunk
             Xdev, _, d2g = self._device_dataset(X, y)
