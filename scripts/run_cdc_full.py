@@ -80,8 +80,11 @@ def main():
     out = tr.fit(data.train, data.valid, test=data.test)
     fit_min = (time.perf_counter() - t0) / 60
     nb = -(-len(data.train[1]) // cfg.train.bs)
+    # update cadence is bs-scaled like the burst length (engine.py:1011):
+    # reference's update_interval counts bs=1024-equivalent batches
+    interval = (cfg.cdc.update_interval * 1024) // cfg.train.bs
     print(f"\nCDC fit: {fit_min:.1f} min wall ({nb} batches, "
-          f"~{nb // cfg.cdc.update_interval} matrix updates, "
+          f"~{1 + (nb - 1) // interval} matrix updates, "
           f"placement={'resident' if tr._resident else 'stream'})")
     print("clusters:", out["domain2group_list"])
     print("s_groups:", out["s_group2domain_list"])
