@@ -262,6 +262,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--skip_reference", action="store_true")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--seeds", default=None,
+                    help="comma-separated seed list; overrides --seed and "
+                         "runs every (model, seed) pair on the same data "
+                         "(multi-seed parity, VERDICT round-2 item 3)")
     ap.add_argument("--skip_ours", action="store_true")
     ap.add_argument("--rows", type=int, default=30000)
     ap.add_argument("--domains", type=int, default=6)
@@ -293,34 +297,40 @@ def main():
                           "aliccp")
         if os.path.exists(pre_csv):
             ensure_aliccp_caches(pre_csv)
+        seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+                 else [args.seed])
         for m in args.models.split(","):
-            if not args.skip_reference:
-                try:
-                    run_reference(m, args.epochs, "mix", args.seed, "aliccp")
-                except Exception as e:
-                    print(f"REFERENCE {m} errored: {e}")
-            if not args.skip_ours:
-                if not os.path.exists(pre_csv):
-                    raise SystemExit(
-                        "aliccp mode trains ours on the REFERENCE's "
-                        f"preprocessed CSV; {pre_csv} missing — run without "
-                        "--skip_reference first")
-                run_ours_aliccp(m, args.epochs, pre_csv, args.seed)
+            for s in seeds:
+                if not args.skip_reference:
+                    try:
+                        run_reference(m, args.epochs, "mix", s, "aliccp")
+                    except Exception as e:
+                        print(f"REFERENCE {m} errored: {e}")
+                if not args.skip_ours:
+                    if not os.path.exists(pre_csv):
+                        raise SystemExit(
+                            "aliccp mode trains ours on the REFERENCE's "
+                            f"preprocessed CSV; {pre_csv} missing — run "
+                            "without --skip_reference first")
+                    run_ours_aliccp(m, args.epochs, pre_csv, s)
         return
     csv = gen_data(args.rows, args.domains, args.user_vocab, args.item_vocab)
+    seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
+             else [args.seed])
     for m in args.models.split(","):
         # reference epnet/hinet squeeze their n_tower=1 output and crash
         # under mix (run.py:484); their working config is group split
         strategy = "split" if ":" not in m and m in ("epnet", "hinet") else "mix"
         if ":" in m:
             m, strategy = m.split(":")
-        if not args.skip_reference:
-            try:
-                run_reference(m, args.epochs, strategy, args.seed)
-            except Exception as e:  # reference crashes on torch>=2.6 reload
-                print(f"REFERENCE {m} errored: {e}")
-        if not args.skip_ours:
-            run_ours(m, args.epochs, csv, strategy, args.seed)
+        for s in seeds:
+            if not args.skip_reference:
+                try:
+                    run_reference(m, args.epochs, strategy, s)
+                except Exception as e:  # reference crashes on torch>=2.6 reload
+                    print(f"REFERENCE {m} errored: {e}")
+            if not args.skip_ours:
+                run_ours(m, args.epochs, csv, strategy, s)
 
 
 if __name__ == "__main__":

@@ -5,8 +5,10 @@ update_matrix_step=2, warmup_step=200, update_interval=1000 batches
 with the default-ON aux attention head, Ali-CCP-like 23-field schema with
 the 1.37M-row itemid vocabulary (reference config.py:7).
 
-End-to-end: clustering (iterative re-assignment across ~39 matrix
-updates) -> early-stop tracking -> checkpoint -> serve roundtrip
+End-to-end: clustering (iterative re-assignment across the bs-scaled
+matrix-update cadence — ~20 updates for the default 20M-row run at
+bs=512, where update_interval=1000 counts bs=1024-equivalent batches)
+-> early-stop tracking -> checkpoint -> serve roundtrip
 (tpurec.serve.predictor_from_checkpoint), with matrix artifacts dumped.
 Also times ONE matrix update under data_placement='stream' at the same
 scale — the beyond-HBM path (bit-identical to resident by
@@ -82,9 +84,10 @@ def main():
     nb = -(-len(data.train[1]) // cfg.train.bs)
     # update cadence is bs-scaled like the burst length (engine.py:1011):
     # reference's update_interval counts bs=1024-equivalent batches
+    # engine fires at i=0 plus every (i+1)%interval==0 -> 1 + nb//interval
     interval = (cfg.cdc.update_interval * 1024) // cfg.train.bs
     print(f"\nCDC fit: {fit_min:.1f} min wall ({nb} batches, "
-          f"~{1 + (nb - 1) // interval} matrix updates, "
+          f"~{1 + nb // max(interval, 1)} matrix updates, "
           f"placement={'resident' if tr._resident else 'stream'})")
     print("clusters:", out["domain2group_list"])
     print("s_groups:", out["s_group2domain_list"])

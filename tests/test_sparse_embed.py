@@ -164,3 +164,35 @@ def test_trainer_with_sparse_embedding_update():
     tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
     out = tr.fit(data.train, data.valid, domain_cnt_weight=data.domain_cnt_weight())
     assert out["valid"]["total_auc"] > 0.55
+
+
+@pytest.mark.slow
+def test_sparse_vs_hybrid_auc_delta_bounded():
+    """Lazy Adam's semantic deviations (untouched rows' moments don't
+    decay, embedding L2 hits touched rows only — module docstring) must
+    not cost measurable model quality on plain zoo training: train the
+    same model/data/seed under both update paths and bound the AUC gap
+    (VERDICT round-2 item 4's quality side; throughput side is
+    scripts/bench_sparse.py)."""
+    from tpurec.config import Config, TrainConfig as TC
+    from tpurec.data import make_synthetic
+    from tpurec.train import Trainer
+
+    data = make_synthetic(n_rows=20000, n_fields=6, n_domain=4,
+                          domain_idx=3, seed=4)
+    aucs = {}
+    for upd in ("hybrid", "sparse"):
+        cfg = Config(
+            model=ModelConfig(model="mmoe", embed_dim=8,
+                              mmoe_expert_dims=(32, 16),
+                              mmoe_tower_dims=(16,), use_atten=False,
+                              dropout=0.0),
+            train=TC(bs=256, epoch=3, seed=0, embedding_update=upd),
+        )
+        tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain))
+        out = tr.fit(data.train, data.valid,
+                     domain_cnt_weight=data.domain_cnt_weight())
+        aucs[upd] = out["valid"]["total_auc"]
+    assert aucs["hybrid"] > 0.6  # learned something real
+    assert abs(aucs["sparse"] - aucs["hybrid"]) < 0.01, aucs

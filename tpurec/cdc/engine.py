@@ -185,6 +185,19 @@ class CDCTrainer:
             spec = P("data", *([None] * (a.ndim - 1)))
             return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
 
+        def replicated(a):
+            """Constrain a host-bound jit OUTPUT to full replication.  On a
+            multi-PROCESS mesh GSPMD otherwise may shard small outputs
+            (e.g. the [R, D] populate rows) across processes, making them
+            non-addressable and unfetchable (np.asarray raises).  Tiny
+            arrays only — the all-gather is noise."""
+            if mesh is None:
+                return a
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P(*([None] * jnp.ndim(a))))
+            return jax.lax.with_sharding_constraint(a, rep)
+
         import optax
 
         def forward_train(rest_params, rows, model_state, x, y, mask, rng,
@@ -229,7 +242,7 @@ class CDCTrainer:
                 params={**new_rest, "embedding": {"table": p2}},
                 opt_state=(new_opt_rest, emb_opt2),
                 model_state=new_state, step=ts.step + 1,
-            ), loss + l2_emb * sumsq
+            ), replicated(loss + l2_emb * sumsq)
 
         def scan_steps(mode, ts, Xdev, ydev, idxs, masks, rngs, domain2group):
             def body(ts, xs):
@@ -338,9 +351,10 @@ class CDCTrainer:
                 ts = ts.replace(params=snap_params, model_state=snap_mstate)
                 return ts, row
 
-            return jax.lax.scan(
+            ts, rows = jax.lax.scan(
                 one_row, ts, (bidx, bmask, bvalid, rngs, eidx, emask)
             )
+            return ts, replicated(rows)
 
         self._populate_rows = jax.jit(populate_rows, donate_argnums=(0,))
 
@@ -362,9 +376,9 @@ class CDCTrainer:
             probs = jax.nn.sigmoid(logit).reshape(D, bs)
             p = jnp.clip(probs, 1e-7, 1 - 1e-7)
             losses = -(ys * jnp.log(p) + (1 - ys) * jnp.log1p(-p))
-            return jnp.sum(losses * masks, axis=1) / jnp.maximum(
+            return replicated(jnp.sum(losses * masks, axis=1) / jnp.maximum(
                 jnp.sum(masks, axis=1), 1.0
-            )
+            ))
 
         self._eval_all_domains = eval_all_domains
 
@@ -393,7 +407,7 @@ class CDCTrainer:
                 denom = jnp.sum(pos) * jnp.sum(neg)
                 return wins / jnp.maximum(denom, 1.0)
 
-            return jax.vmap(one_auc)(p, ys, masks)
+            return replicated(jax.vmap(one_auc)(p, ys, masks))
 
         self._eval_all_domains_auc = eval_all_domains_auc
 
@@ -414,7 +428,7 @@ class CDCTrainer:
                     jnp.take_along_axis(out, groups[:, None], axis=1)[:, 0])
 
             _, ps = jax.lax.scan(body, 0, xs)
-            return ps
+            return replicated(ps)
 
         self._predict_split_scan = predict_split_scan
 
@@ -444,7 +458,7 @@ class CDCTrainer:
 
             carry, _ = jax.lax.scan(
                 body, (pos, neg, lsum, lcnt), (xs, ys, masks))
-            return carry
+            return jax.tree_util.tree_map(replicated, carry)
 
         self._predict_split_hist_scan = predict_split_hist_scan
 
@@ -962,8 +976,11 @@ class CDCTrainer:
             self._dump_matrices()
 
     def _dump_matrices(self, out_dir: Optional[str] = None):
-        """Persist A/B/mask/causal matrices (cdc.py:395-426's xlsx/png dump,
-        as csv + optional png)."""
+        """Persist A/B/mask/causal matrices (cdc.py:395-426's dump): csv +
+        .xlsx (dependency-free writer, to_excel(index=False) layout) +
+        per-cell-annotated imshow PNG — the reference's full artifact set."""
+        from tpurec.utils.xlsx import write_matrix_xlsx
+
         st = self.cluster
         out_dir = out_dir or os.path.join(
             self.cfg.train.save_path, "cdc_matrices"
@@ -975,19 +992,28 @@ class CDCTrainer:
             ("matrix_mask", st.matrix_mask), ("causal_matrix", st.matrix_causal),
         ):
             np.savetxt(os.path.join(out_dir, f"{name}_step{k}.csv"), m, delimiter=",")
+            write_matrix_xlsx(os.path.join(out_dir, f"{name}_step{k}.xlsx"), m)
             try:
                 import matplotlib
 
                 matplotlib.use("Agg")
                 import matplotlib.pyplot as plt
 
-                vmax = max(abs(float(m.min())), abs(float(m.max())), 1e-12)
+                # illustration trims A/B's extra baseline/group rows to the
+                # domain block, like the reference (cdc.py:404-405)
+                mm = m[: self.n_domain] if name in ("matrix_A", "matrix_B") else m
+                vmax = max(abs(float(mm.min())), abs(float(mm.max())), 1e-12)
                 fig, ax = plt.subplots(figsize=(10, 8))
-                im = ax.imshow(m, cmap="RdBu", interpolation="nearest",
+                im = ax.imshow(mm, cmap="RdBu", interpolation="nearest",
                                vmin=-vmax, vmax=vmax)
                 ax.set_title(f"{name} step-{k}")
                 ax.set_xlabel("Domain Index")
                 ax.set_ylabel("Treatment Index")
+                # per-cell value annotations (cdc.py:421-423)
+                for i in range(mm.shape[0]):
+                    for j in range(mm.shape[1]):
+                        ax.text(j, i, f"{mm[i, j]:.1e}", ha="center",
+                                va="center", color="black", fontsize=4)
                 fig.colorbar(im)
                 fig.savefig(os.path.join(out_dir, f"{name}_step{k}.png"))
                 plt.close(fig)
