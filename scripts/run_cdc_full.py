@@ -126,7 +126,30 @@ def main():
         dt2 = time.perf_counter() - t0
         print(f"stream-placement matrix update: first {dt1:.0f}s "
               f"(incl compiles), steady {dt2:.0f}s "
-              f"(dataset stays in host RAM; windows over the tunnel)")
+              f"(dataset stays in host RAM; windows over the tunnel)",
+              flush=True)
+
+        # bounded split-mode TRAINING span in stream placement, with the
+        # tunnel distortion explicitly bounded (VERDICT round-2 item 2):
+        # measure link bandwidth with a device_put probe, then report how
+        # much of the span is window transfer at that bandwidth.
+        seq = st.train_batcher.epoch_seq()
+        span = min(2000, len(seq))
+        t0 = time.perf_counter()
+        st._train_span(seq, 0, span)
+        dt = time.perf_counter() - t0
+        probe = np.zeros(16 << 20, np.float32)  # 64 MiB
+        t1 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(probe))
+        bw = probe.nbytes / (time.perf_counter() - t1)
+        row_bytes = len(fd) * 4 + 4             # int32 fields + f32 label
+        shipped = span * cfg.train.bs * row_bytes
+        print(f"stream training span: {span} batches in {dt:.0f}s "
+              f"({span * cfg.train.bs / dt:,.0f} ex/s end-to-end); "
+              f"shipped {shipped / 2**20:.0f} MiB of windows; link probe "
+              f"{bw / 2**20:.0f} MiB/s -> transfer floor "
+              f"{shipped / bw:.0f}s of the {dt:.0f}s span "
+              f"(PCIe-attached hosts at >10 GB/s make this negligible)")
 
 
 if __name__ == "__main__":
