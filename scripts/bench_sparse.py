@@ -40,8 +40,15 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--measure", type=int, default=8)
+    ap.add_argument("--item_vocab", type=int, default=None,
+                    help="itemid vocab override: the dense Adam sweep "
+                    "scales with the table, the sparse scatter doesn't — "
+                    "grow this past the reference's 1.37M to find the "
+                    "crossover (sparse.py docstring estimates ~5M rows)")
     args = ap.parse_args()
     K = args.k
+    fd = (FIELD_DIMS if args.item_vocab is None
+          else FIELD_DIMS[:9] + (args.item_vocab,) + FIELD_DIMS[10:])
 
     import jax
 
@@ -61,11 +68,11 @@ def main():
         use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2,
     )
     tcfg = TrainConfig(bs=BS, embedding_moments_dtype="bfloat16")
-    model = build_model("mmoe", FIELD_DIMS, N_TOWER, DOMAIN_IDX, mcfg)
+    model = build_model("mmoe", fd, N_TOWER, DOMAIN_IDX, mcfg)
 
     rng = np.random.default_rng(0)
     xs = np.stack(
-        [rng.integers(0, d, size=(K, BS)) for d in FIELD_DIMS], axis=2
+        [rng.integers(0, d, size=(K, BS)) for d in fd], axis=2
     ).astype(np.int32)
     batches = {
         "x": jnp.asarray(xs),
@@ -116,6 +123,7 @@ def main():
             "value": round(eps, 1),
             "unit": "examples/sec/chip",
             "ms_per_step": round(1000 * best_dt / (K * args.measure), 3),
+            "table_rows": sum(fd),
         }), flush=True)
 
 

@@ -218,7 +218,32 @@ def task_cdc(jax, out):
              table=flat_params(jax, tr.state.params)["['embedding']['table']"])
 
 
-TASKS = {"feed": task_feed, "epoch": task_epoch, "cdc": task_cdc}
+def task_cdcfit(jax, out):
+    """FULL CDC fit on the 2-process mesh: warmup scan, split-mode train
+    spans, interval-cadence matrix updates, streaming eval, early stop —
+    the whole train_cdc_epoch surface executing cross-process without
+    deadlock, with both processes reaching identical results."""
+    import numpy as np
+
+    from tpurec.cdc import CDCTrainer
+    from tpurec.parallel import Shardings, make_mesh
+
+    cfg, data = cdc_config(), cdc_data()
+    mesh = make_mesh(4, 2)
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                    mesh=mesh, shardings=Shardings(mesh))
+    res = tr.fit(data.train, data.valid, test=data.test)
+    np.savez(out,
+             d2g=np.asarray(res["domain2group_list"], np.int32),
+             valid_auc=res["valid"]["total_auc"],
+             valid_mean_auc=res["valid"]["mean_auc"],
+             test_auc=res["test"]["total_auc"],
+             matrix_A=tr.cluster.matrix_A,
+             n_updates=tr.cluster.call_update_group)
+
+
+TASKS = {"feed": task_feed, "epoch": task_epoch, "cdc": task_cdc,
+         "cdcfit": task_cdcfit}
 
 
 def main():

@@ -235,3 +235,22 @@ def test_two_process_cdc_matches_single_process(tmp_path):
     tbl = mp_worker.flat_params(
         __import__("jax"), single.state.params)["['embedding']['table']"]
     np.testing.assert_allclose(tbl, w0["table"], rtol=2e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_cdc_full_fit(tmp_path):
+    """The whole CDCTrainer.fit (warmup scan, interval-cadence matrix
+    updates, split train spans, streaming eval, early stop) runs
+    cross-process without deadlock, learns, clusters, and both processes
+    reach bit-identical results."""
+    outs = _run_workers("cdcfit", tmp_path, timeout=1500)
+    w0 = np.load(outs[0])
+    w1 = np.load(outs[1])
+    for k in w0.files:
+        np.testing.assert_array_equal(w0[k], w1[k], err_msg=k)
+    assert int(w0["n_updates"]) >= 1
+    labels = list(w0["d2g"])
+    assert len(labels) == 6 and set(labels) <= {0, 1}
+    assert float(w0["valid_auc"]) > 0.55
+    assert np.isfinite(float(w0["valid_mean_auc"]))
+    assert np.abs(w0["matrix_A"]).sum() > 0
