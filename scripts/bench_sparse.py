@@ -5,9 +5,12 @@ Same shapes as bench.py (MMoE flagship, 23 Ali-CCP-like fields incl. the
 1.37M itemid vocab, bs=512, K=16-step scanned dispatches, bf16 table
 moments): the hybrid path is the production default (bit-equivalent to
 the reference's dense Adam + dense embedding L2, run.py:476-492 +
-layer.py:31); the sparse path is lazy Adam on touched rows only
-(tpurec/train/sparse.py) — legal ONLY for plain zoo training (CDCTrainer
-refuses it, engine.py: it would change the counterfactual matrices).
+layer.py:31); the sparse paths are lazy Adam on touched rows only
+(tpurec/train/sparse.py) with either duplicate-id dedup strategy —
+'scatter' (one dense table-sized scatter-add, O(vocab)/step) or 'sort'
+(argsort + segment-sum, vocab-independent).  Sparse is legal ONLY for
+plain zoo training (CDCTrainer refuses it, engine.py: it would change
+the counterfactual matrices).
 
 Prints one JSON line per path.
 
@@ -91,7 +94,10 @@ def main():
 
     paths = {
         "hybrid": make_hybrid_train_step(model, tcfg, reg, **common)[0],
-        "sparse": make_sparse_train_step(model, tcfg, reg, **common)[0],
+        "sparse-scatter": make_sparse_train_step(
+            model, tcfg, reg, dedup="scatter", **common)[0],
+        "sparse-sort": make_sparse_train_step(
+            model, tcfg, reg, dedup="sort", **common)[0],
     }
 
     for name, scan_steps in paths.items():

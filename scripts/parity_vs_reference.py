@@ -171,6 +171,7 @@ def run_ours_aliccp(model: str, epochs: int, csv: str, seed: int = 7):
         "dcnv2": dict(mlp_dims=(256, 128, 64)),
         "autoint": dict(mlp_dims=(256, 128, 64)),
         "ple": dict(ple_expert_dims=((256, 128), (64,)), ple_tower_dims=(64, 32)),
+        "deepfm": dict(mlp_dims=(256, 128)),  # run.py:314 hardcodes these
     }
     mcfg = ModelConfig(model=model, **kw, **per_model.get(model, {}))
     cfg = Config(model=mcfg, train=TrainConfig(bs=512, epoch=epochs, seed=seed))

@@ -196,3 +196,70 @@ def test_sparse_vs_hybrid_auc_delta_bounded():
         aucs[upd] = out["valid"]["total_auc"]
     assert aucs["hybrid"] > 0.6  # learned something real
     assert abs(aucs["sparse"] - aucs["hybrid"]) < 0.01, aucs
+
+
+def test_sort_dedup_matches_scatter_dedup():
+    """The vocab-independent sort/segment-sum dedup must produce exactly
+    the same step as the dense scatter-add dedup (same touched rows, same
+    moments), duplicates included."""
+    from tpurec.data import make_synthetic
+
+    data = make_synthetic(n_rows=2000, n_fields=5, n_domain=4,
+                          domain_idx=3, seed=2)
+    model = build_model("mmoe", data.field_dims, 1, 3, CFG)
+    tcfg = TrainConfig(bs=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5), jnp.int32))
+    params = variables["params"]
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(tcfg)
+    reg0 = jax.tree_util.tree_map(lambda _: 0.0, params)
+    Xtr, ytr = data.train
+    # duplicate-heavy batch: repeat rows so ids collide across and within rows
+    sl = np.concatenate([np.arange(32), np.arange(16), np.arange(16)])
+    batch = {"x": jnp.asarray(Xtr[sl]), "y": jnp.asarray(ytr[sl]),
+             "group": jnp.zeros((64,), jnp.int32),
+             "mask": jnp.ones((64,), jnp.float32)}
+
+    outs = {}
+    for mode in ("scatter", "sort"):
+        step, _ = make_sparse_train_step(
+            model, tcfg, reg0, True, tuple(ms.keys()),
+            l2_reg_embedding=1e-5, optimizer=tx, dedup=mode)
+        st = TrainState(
+            params=jax.tree_util.tree_map(jnp.copy, params),
+            opt_state=init_sparse_opt_state(params, tx),
+            model_state=jax.tree_util.tree_map(jnp.copy, ms),
+            step=jnp.zeros((), jnp.int32))
+        for i in range(3):
+            st, loss = step(st, batch, jax.random.PRNGKey(i))
+        outs[mode] = (jax.tree_util.tree_map(np.asarray, st.params),
+                      jax.tree_util.tree_map(np.asarray, st.opt_state),
+                      float(loss))
+    assert outs["sort"][2] == outs["scatter"][2]
+    np.testing.assert_allclose(
+        outs["sort"][0]["embedding"]["table"],
+        outs["scatter"][0]["embedding"]["table"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(outs["sort"][1][1].m), np.asarray(outs["scatter"][1][1].m),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(outs["sort"][1][1].v), np.asarray(outs["scatter"][1][1].v),
+        rtol=1e-6, atol=1e-8)
+
+
+def test_sparse_dedup_auto_and_validation():
+    import pytest
+
+    from tpurec.train.sparse import SORT_DEDUP_VOCAB
+
+    assert SORT_DEDUP_VOCAB > sum(FIELD_DIMS)  # tiny vocab -> scatter
+    model = build_model("mmoe", FIELD_DIMS, 1, DOMAIN_IDX, CFG)
+    tcfg = TrainConfig(bs=8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 5), jnp.int32))
+    ms = {k: v for k, v in variables.items() if k != "params"}
+    tx = make_optimizer(tcfg)
+    reg0 = jax.tree_util.tree_map(lambda _: 0.0, variables["params"])
+    with pytest.raises(ValueError, match="dedup"):
+        make_sparse_train_step(model, tcfg, reg0, True, tuple(ms.keys()),
+                               l2_reg_embedding=0.0, optimizer=tx,
+                               dedup="nope")

@@ -79,6 +79,9 @@ class SparseEmbedState(flax.struct.PyTreeNode):
     v: Any
 
 
+SORT_DEDUP_VOCAB = 4_000_000  # above this, the O(vocab) scatter loses
+
+
 def make_sparse_train_step(
     model,
     tcfg: TrainConfig,
@@ -88,11 +91,23 @@ def make_sparse_train_step(
     l2_reg_embedding: float,
     optimizer: Optional[optax.GradientTransformation] = None,
     scan_k: Optional[int] = None,
+    dedup: Optional[str] = None,
 ):
     """Train step (or K-step scan when ``scan_k``) with row-sparse embedding
     updates.  ``reg_coefs`` is the usual full coefficient tree; the table's
     entry is stripped here (its L2 applies sparsely to the touched rows via
     ``l2_reg_embedding``).
+
+    ``dedup`` picks how duplicate touched ids are combined:
+    - ``'scatter'``: one dense table-sized scatter-add + re-gather.  Fast
+      at small/mid vocabs but costs O(vocab) per step (it materializes a
+      zeros_like(table)) — measured 7.0ms/step at a 13.9M-row table.
+    - ``'sort'``: argsort + segment-sum over the B*F touched rows
+      (:func:`combine_duplicate_rows`) — O(B*F log B*F), vocab-
+      independent; the only truly row-sparse form.
+    - None (default): 'sort' when the fused vocab exceeds
+      ``SORT_DEDUP_VOCAB``, else 'scatter' — each measured faster in its
+      regime on v5e (scripts/bench_sparse.py).
 
     TrainState.opt_state is (optax_state_for_rest_params, SparseEmbedState).
     """
@@ -102,6 +117,10 @@ def make_sparse_train_step(
     layout = EmbeddingLayout(model.field_dims)
     offsets = layout.offsets
     vocab = layout.vocab
+    if dedup is None:
+        dedup = "sort" if vocab > SORT_DEDUP_VOCAB else "scatter"
+    if dedup not in ("sort", "scatter"):
+        raise ValueError(f"unknown dedup {dedup!r}")
     b1, b2, eps, lr, wd = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr, tcfg.wd
 
     def loss_fn(rest_params, rows, model_state, batch, rng):
@@ -145,27 +164,41 @@ def make_sparse_train_step(
         new_rest = optax.apply_updates(rest, updates)
         new_params = {**new_rest, "embedding": {"table": table}}
 
-        # lazy Adam on the touched table rows.  Duplicate ids are combined
-        # by ONE dense scatter-add (cheaper on TPU than a sort-based
-        # segment-sum: a [N] bitonic sort costs more than a 1-pass scatter);
-        # every per-occurrence update below is idempotent (.set with
-        # identical values), so duplicates are harmless.
-        g_dense = jnp.zeros_like(table).at[flat_ids].add(g_rows)
-        g_u = jnp.take(g_dense, flat_ids, axis=0)  # combined grad per occurrence
+        # lazy Adam on the touched table rows, duplicates combined first.
+        if dedup == "scatter":
+            # ONE dense scatter-add + re-gather: every per-occurrence
+            # update below is idempotent (.at[].set with identical
+            # values), so duplicates are harmless.  O(vocab)/step — only
+            # used below SORT_DEDUP_VOCAB.
+            g_dense = jnp.zeros_like(table).at[flat_ids].add(g_rows)
+            g_u = jnp.take(g_dense, flat_ids, axis=0)  # combined, per occurrence
+            upd_ids, upd_rows = flat_ids, rows
+        else:
+            # vocab-independent: sort ids, segment-sum duplicate grads;
+            # padding segments get the out-of-range sentinel id and their
+            # scatter updates are DROPPED (jax default OOB-scatter mode)
+            seg_ids, g_seg, _valid = combine_duplicate_rows(
+                flat_ids, g_rows, vocab)
+            safe = jnp.minimum(seg_ids, vocab - 1)
+            upd_ids, g_u = seg_ids, g_seg
+            upd_rows = jnp.take(table, safe, axis=0)
         # reference-style L2 (layer.py:31) + torch weight_decay, touched rows
-        g_u = g_u + (2.0 * l2_reg_embedding + wd) * rows
-        m_u = (b1 * jnp.take(emb_opt.m, flat_ids, axis=0).astype(jnp.float32)
+        g_u = g_u + (2.0 * l2_reg_embedding + wd) * upd_rows
+        safe_ids = (upd_ids if dedup == "scatter"
+                    else jnp.minimum(upd_ids, vocab - 1))
+        m_u = (b1 * jnp.take(emb_opt.m, safe_ids, axis=0).astype(jnp.float32)
                + (1 - b1) * g_u)
-        v_u = (b2 * jnp.take(emb_opt.v, flat_ids, axis=0).astype(jnp.float32)
+        v_u = (b2 * jnp.take(emb_opt.v, safe_ids, axis=0).astype(jnp.float32)
                + (1 - b2) * jnp.square(g_u))
         t = (ts.step + 1).astype(jnp.float32)
         m_hat = m_u / (1 - b1 ** t)
         v_hat = v_u / (1 - b2 ** t)
         upd = lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-        new_table = new_params["embedding"]["table"].at[flat_ids].set(rows - upd)
-        new_m = emb_opt.m.at[flat_ids].set(m_u.astype(emb_opt.m.dtype))
-        new_v = emb_opt.v.at[flat_ids].set(v_u.astype(emb_opt.v.dtype))
+        new_table = new_params["embedding"]["table"].at[upd_ids].set(
+            upd_rows - upd)
+        new_m = emb_opt.m.at[upd_ids].set(m_u.astype(emb_opt.m.dtype))
+        new_v = emb_opt.v.at[upd_ids].set(v_u.astype(emb_opt.v.dtype))
         new_params["embedding"]["table"] = new_table
 
         new_ts = ts.replace(
