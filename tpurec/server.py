@@ -40,6 +40,19 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
     n_fields = len(predictor.field_dims)
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every reply carries Content-Length, so
+        # persistent connections are safe and clients reusing a
+        # connection don't race the HTTP/1.0 per-response close (which
+        # showed up as multi-second stalls under concurrent 1-row
+        # requests in scripts/bench_serve_latency.py)
+        protocol_version = "HTTP/1.1"
+        # one packet per reply: the default unbuffered wfile emits status/
+        # headers/body as separate segments, and on a keep-alive
+        # connection Nagle + the peer's delayed ACK insert ~40ms between
+        # them; buffering + TCP_NODELAY removes that latency floor
+        wbufsize = 64 * 1024
+        disable_nagle_algorithm = True
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
