@@ -248,12 +248,18 @@ class Predictor:
             list(ex.map(one, self.batch_sizes))
         return self
 
-    def __call__(self, X: np.ndarray) -> np.ndarray:
-        """X [N, F] int -> probabilities [N] (np.float32).
+    def predict_async(self, X: np.ndarray):
+        """Submit the scoring dispatches for X [N, F] WITHOUT blocking on
+        device results; returns a zero-arg callable yielding the [N]
+        probabilities.
 
-        Requests are served in chunks of the largest configured batch
-        size; the ragged tail is padded (pad rows use id 0 per field —
-        always in-vocab) and sliced off.
+        JAX dispatch is asynchronous — the device (and the dispatch
+        round-trip to it) proceeds between submit and fetch.  A serving
+        host that serializes only the SUBMISSION (and fetches outside
+        its lock) therefore pipelines concurrent requests across the
+        dispatch latency instead of holding every other request for a
+        full round-trip (scripts/bench_serve_latency.py measures the
+        difference; it is large on RTT-bound links).
         """
         if self._qtable is None:
             raise RuntimeError("load_variables/load_checkpoint first")
@@ -269,13 +275,14 @@ class Predictor:
         X = X.astype(np.int32)
         n = X.shape[0]
         bs = self.batch_sizes[-1]
-        out = np.empty((n,), np.float32)
         fn = self._fn(bs)
+        parts = []  # (in-flight device array, rows to keep)
         for lo in range(0, n, bs):
             hi = min(lo + bs, n)
             xb = X[lo:hi]
             if hi - lo < bs:
-                # smallest configured size that fits the tail
+                # smallest configured size that fits the tail (pad rows
+                # use id 0 per field — always in-vocab)
                 bs_t = next(b for b in self.batch_sizes if b >= hi - lo) \
                     if (hi - lo) <= self.batch_sizes[-1] else bs
                 fn_t = self._fn(bs_t)
@@ -283,12 +290,29 @@ class Predictor:
                 p = fn_t(self._qtable, self._scales, self._rest,
                          self._model_state, self._d2g_dev,
                          jnp.asarray(np.concatenate([xb, pad])))
-                out[lo:hi] = np.asarray(p)[: hi - lo]
             else:
                 p = fn(self._qtable, self._scales, self._rest,
                        self._model_state, self._d2g_dev, jnp.asarray(xb))
-                out[lo:hi] = np.asarray(p)
-        return out
+            parts.append((p, hi - lo))
+
+        def result() -> np.ndarray:
+            out = np.empty((n,), np.float32)
+            lo = 0
+            for p, take in parts:
+                out[lo:lo + take] = np.asarray(p)[:take]
+                lo += take
+            return out
+
+        return result
+
+    def __call__(self, X: np.ndarray) -> np.ndarray:
+        """X [N, F] int -> probabilities [N] (np.float32).
+
+        Requests are served in chunks of the largest configured batch
+        size; the ragged tail is padded and sliced off.  Blocking form of
+        :meth:`predict_async`.
+        """
+        return self.predict_async(X)()
 
     # -- memory accounting --------------------------------------------
     def table_bytes(self) -> Tuple[int, int]:

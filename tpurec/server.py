@@ -9,10 +9,13 @@ engine and this module is the network-facing layer:
   the Predictor applies the checkpoint's feature-hash spec when present.
 - ``GET /healthz`` — liveness + model/schema info + request counters.
 
-Threaded stdlib server: requests are parsed/serialized concurrently while
-scoring itself serializes through a lock (one XLA executable, one device
-— concurrent dispatch would interleave on the same chip anyway; batching
-inside one request is the throughput lever, see scripts/bench_serve.py).
+Threaded stdlib server: requests are parsed/serialized concurrently;
+scoring SUBMISSION serializes through a lock (one device — ordered,
+fair), but the device-result fetch happens outside it, so concurrent
+requests pipeline across the dispatch round-trip (Predictor.predict_async).
+Batching inside one request remains the per-stream throughput lever
+(scripts/bench_serve.py); pipelining is the concurrency lever
+(scripts/bench_serve_latency.py).
 
     python -m tpurec.server --ckpt save/mmoe_synthetic_seed7.pkl \
         --port 8080 --table_dtype bfloat16 --bs 4096
@@ -112,8 +115,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             try:
                 t0 = time.perf_counter()
+                # lock ONLY the dispatch submission; the fetch blocks
+                # outside it, so concurrent requests pipeline across the
+                # device round-trip instead of serializing through it
                 with lock:
-                    probs = predictor(X)
+                    fetch = predictor.predict_async(X)
+                probs = fetch()
                 ms = (time.perf_counter() - t0) * 1e3
                 # stats updates share the predictor lock: ThreadingHTTPServer
                 # handles requests concurrently and unlocked read-modify-
