@@ -1089,9 +1089,15 @@ class CDCTrainer:
 
     def _train_span(self, seq, lo: int, hi: int) -> float:
         """Train split-mode steps lo..hi-1 of the domain sequence via
-        fixed-shape scans (full 64-step scans plus one gated tail)."""
+        fixed-shape scans (full 64-step scans plus one gated tail).
+
+        Loss sums stay ON DEVICE until the span ends: a host sync per
+        chunk would serialize the next chunk's host-side work (index
+        prep; in stream placement the whole window gather + upload) with
+        the device compute, instead of overlapping them through the
+        async dispatch queue."""
         bs = self.cfg.train.bs
-        total = 0.0
+        chunk_losses = []
         j = lo
         while j < hi:
             span = min(self._SPAN_SCAN, hi - j)
@@ -1125,9 +1131,10 @@ class CDCTrainer:
                     self._dev(valids), self._dev(rngs), self.domain2group_dev,
                 )
                 losses = losses[:span]
-            total += float(jnp.sum(losses))
+            chunk_losses.append(jnp.sum(losses))  # async; no host sync yet
             j += span
-        return total
+        return float(np.sum([np.asarray(l) for l in chunk_losses])) \
+            if chunk_losses else 0.0
 
     # ------------------------------------------------------------------
     def _padded_split(self, batcher: DomainBatcher):
