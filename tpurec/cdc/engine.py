@@ -1177,7 +1177,9 @@ class CDCTrainer:
             ps = self._predict_split_scan(
                 self.state.params, self.state.model_state, xs,
                 self.domain2group_dev)
-            preds.append(np.asarray(ps).reshape(-1))
+            preds.append(ps)  # stay on device: fetch would serialize the
+            # next chunk's host-side staging with this chunk's compute
+        preds = [np.asarray(p).reshape(-1) for p in preds]
         targets, predicts, domains = y, np.concatenate(preds)[:n], doms
         result = {
             "total_auc": auc_score(targets, predicts),

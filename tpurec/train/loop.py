@@ -408,8 +408,9 @@ class Trainer:
                 produced += 1
                 yield filler
 
-        loss_sum, n_batches = 0.0, 0
+        n_batches = 0
         pending = []
+        device_losses = []  # per-dispatch sums; fetched once at epoch end
         for batch in local_stream():
             pending.append(batch)
             if len(pending) < K and n_batches + len(pending) < nb:
@@ -424,12 +425,18 @@ class Trainer:
             else:
                 self.state, losses = self.scan_steps(
                     self.state, gb, jax.random.split(r, len(pending)))
-            loss_sum += float(jnp.sum(losses))
+            # keep the sum on device: a per-dispatch host sync would
+            # serialize the next dispatch's batch staging + cross-process
+            # assembly with this dispatch's compute
+            device_losses.append(jnp.sum(losses))
             n_batches += len(pending)
             pending = []
             if log_fn is not None:
-                log_fn({"train_loss": loss_sum / n_batches,
-                        "epoch": epoch_i, "it": n_batches})
+                log_fn({"train_loss": float(np.sum(
+                    [np.asarray(l) for l in device_losses])) / n_batches,
+                    "epoch": epoch_i, "it": n_batches})
+        loss_sum = float(np.sum([np.asarray(l) for l in device_losses])) \
+            if device_losses else 0.0
         return loss_sum / max(n_batches, 1)
 
     EVAL_CHUNK = 128  # batches per eval dispatch (device-resident path)
