@@ -524,19 +524,21 @@ class Trainer:
                 chunk = jnp.asarray(idx[b0:b0 + ch])
                 ps = self.eval_scan(
                     self.state.params, self.state.model_state, Xdev, d2g, chunk)
-                preds.append(np.asarray(ps).reshape(-1))
-            predicts = np.concatenate(preds)[:n]
+                preds.append(ps)  # device-side; deferred fetch below keeps
+                # the next chunk's staging overlapped with this compute
+            predicts = np.concatenate(
+                [np.asarray(p).reshape(-1) for p in preds])[:n]
         else:
             batcher = ArrayBatcher(X, y, bs, group=self._group_of(X), shuffle=False)
             preds = []
             for batch in batcher:
-                mask = batch["mask"]
                 p = self.eval_step(
                     self.state.params, self.state.model_state,
                     {k: jnp.asarray(v) for k, v in batch.items()},
                 )
-                preds.append(np.asarray(p)[mask > 0])
-            predicts = np.concatenate(preds)
+                preds.append((p, batch["mask"]))  # deferred fetch
+            predicts = np.concatenate(
+                [np.asarray(p)[mask > 0] for p, mask in preds])
         return predicts
 
     def evaluate_streaming(self, X: np.ndarray, y: np.ndarray,
