@@ -328,3 +328,32 @@ def test_warm_compile_cache_invalidated_on_new_dataset(data):
     tr.update_matrix_cdc(cfg.cdc.update_matrix_step)  # must not crash
     assert tr._populate_data_sig[0] == tr.Xdev.shape
     assert not tr._populate_exec  # stale AOT cache was dropped
+
+
+def test_dump_matrices_writes_full_artifact_set(tmp_path, data):
+    """csv + xlsx + per-cell annotated png per matrix (cdc.py:395-426)."""
+    cfg = _cfg("mmoe")
+    tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    tr.setup_data(data.train, data.valid)  # allocates the cluster state
+    st = tr.cluster
+    rng = np.random.default_rng(0)
+    st.matrix_A[:] = rng.standard_normal(st.matrix_A.shape)
+    st.matrix_B[:] = rng.standard_normal(st.matrix_B.shape)
+    st.matrix_mask[:] = rng.standard_normal(st.matrix_mask.shape)
+    st.matrix_causal = rng.standard_normal((data.n_domain, data.n_domain))
+    st.call_update_group = 2
+    out = str(tmp_path / "m")
+    tr._dump_matrices(out)
+    from tpurec.utils.xlsx import read_matrix_xlsx
+
+    import os
+
+    for name, m in (("matrix_A", st.matrix_A), ("matrix_B", st.matrix_B),
+                    ("matrix_mask", st.matrix_mask),
+                    ("causal_matrix", st.matrix_causal)):
+        csv = os.path.join(out, f"{name}_step2.csv")
+        xlsx = os.path.join(out, f"{name}_step2.xlsx")
+        png = os.path.join(out, f"{name}_step2.png")
+        assert os.path.exists(csv) and os.path.exists(xlsx)
+        np.testing.assert_allclose(read_matrix_xlsx(xlsx), m)
+        assert os.path.exists(png)  # matplotlib present on this image
