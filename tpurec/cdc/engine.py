@@ -865,7 +865,14 @@ class CDCTrainer:
         self._warm_futures = []
         self._warm_inflight = set()
 
-    def _run_populate(self, bidx, bmask, bvalid, eidx, emask):
+    def _run_populate_async(self, bidx, bmask, bvalid, eidx, emask):
+        """Dispatch one populate block; returns the [R, D] rows as an
+        in-flight device array.  Callers that dispatch several blocks
+        fetch them all at the end (update_matrix_cdc): the blocks chain
+        through the donated state on device, so deferring the fetch
+        overlaps the NEXT block's host work (schedule build; in stream
+        placement the whole window gather + upload) with this block's
+        device compute."""
         R = bidx.shape[0]
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         rngs = jax.random.split(rng, R)
@@ -878,7 +885,12 @@ class CDCTrainer:
             bidx_d, self._dev(bmask), self._dev(bvalid), self._dev(rngs),
             eidx_d, self._dev(emask), self.domain2group_dev,
         )
-        return np.asarray(rows, np.float64)
+        return rows
+
+    def _run_populate(self, bidx, bmask, bvalid, eidx, emask):
+        return np.asarray(
+            self._run_populate_async(bidx, bmask, bvalid, eidx, emask),
+            np.float64)
 
     def update_matrix_cdc(self, update_matrix_step: int):
         """Populate matrix_mask/A/B (run.py:528-594) then re-cluster.
@@ -912,20 +924,23 @@ class CDCTrainer:
                 list(treat), k, K_max
             )
             eidx[r], emask[r] = self._eval_sched()
-        st.matrix_mask[:] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
+        # dispatch now, fetch after ALL blocks are queued (see
+        # _run_populate_async): block N+1's host scheduling/window work
+        # overlaps block N's device compute
+        mask_rows = self._run_populate_async(bidx, bmask, bvalid, eidx, emask)
 
         # ---- matrix A: warm baseline (eval-only) + train-on-one rows
-        # (run.py:571-577); single-domain bursts are k steps of [bs]
+        # (run.py:571-577); single-domain bursts are k steps of [bs].
+        # The baseline eval uses rolled-back params (identical to the
+        # pre-update params — the mask block restores them on device), so
+        # queuing it after the mask block preserves exact semantics.
         ei, em = self._eval_sched()
         base_fn = (self._eval_all_domains_auc if cfg.use_metric == "auc"
                    else self._eval_all_domains)
         Xsrc, ysrc, ei_d = self._feed(ei)
-        st.matrix_A[D] = np.asarray(
-            base_fn(
-                self.state.params, self.state.model_state, Xsrc, ysrc,
-                ei_d, self._dev(em), self.domain2group_dev,
-            ),
-            np.float64,
+        warm_row = base_fn(
+            self.state.params, self.state.model_state, Xsrc, ysrc,
+            ei_d, self._dev(em), self.domain2group_dev,
         )
         bidx = np.zeros((D, k, bs), np.int32)
         bmask = np.zeros((D, k, bs), np.float32)
@@ -936,7 +951,7 @@ class CDCTrainer:
             for s in range(k):
                 bidx[d, s], bmask[d, s] = self._next_idx_padded(d, bs)
             eidx[d], emask[d] = self._eval_sched()
-        st.matrix_A[:D] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
+        a_rows = self._run_populate_async(bidx, bmask, bvalid, eidx, emask)
 
         # ---- matrix B: leave-one-out rows + per-cluster rows
         # (run.py:579-592).  Cluster rows train on ALL domains of cluster c —
@@ -966,7 +981,13 @@ class CDCTrainer:
                 train_domains, k, K_max
             )
             eidx[r], emask[r] = self._eval_sched()
-        st.matrix_B[:] = self._run_populate(bidx, bmask, bvalid, eidx, emask)
+        b_rows = self._run_populate_async(bidx, bmask, bvalid, eidx, emask)
+
+        # fetch everything once the full update is queued
+        st.matrix_mask[:] = np.asarray(mask_rows, np.float64)
+        st.matrix_A[D] = np.asarray(warm_row, np.float64)
+        st.matrix_A[:D] = np.asarray(a_rows, np.float64)
+        st.matrix_B[:] = np.asarray(b_rows, np.float64)
 
         update_group(
             st, cfg, self.domain_cnt_weight,
