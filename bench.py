@@ -157,6 +157,9 @@ def main():
         "value": round(eps, 1),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs, 3),
+        # timing methodology, so vs_baseline ratios are only read against
+        # like-for-like records (r1/r2 were single-pass; r3+ best-of-2)
+        "method": "best_of_2",
     }))
 
 

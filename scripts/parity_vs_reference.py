@@ -22,6 +22,23 @@ def setup_workdir():
     os.makedirs(f"{WORK}/dataset/aliccp", exist_ok=True)
     os.makedirs(f"{WORK}/dataset/amazon", exist_ok=True)
     os.makedirs(f"{WORK}/wandb_stub/wandb", exist_ok=True)
+    # the reference saves checkpoints under save/<dataset> and CDC matrix
+    # figures under result/<dataset> relative to cwd (run.py:80, cdc.py:60)
+    for d in ("save/amazon", "save/aliccp", "result/amazon", "result/aliccp"):
+        os.makedirs(f"{WORK}/{d}", exist_ok=True)
+    # minimal working openpyxl so the reference CDC's to_excel matrix dumps
+    # (cdc.py:400) don't crash on this openpyxl-less image
+    os.makedirs(f"{WORK}/wandb_stub/openpyxl", exist_ok=True)
+    import shutil
+
+    shutil.copyfile(os.path.join(REPO, "scripts", "openpyxl_stub_src.py"),
+                    f"{WORK}/wandb_stub/openpyxl/__init__.py")
+    with open(f"{WORK}/wandb_stub/openpyxl/workbook.py", "w") as f:
+        f.write("from openpyxl import Workbook  # noqa\n")
+    with open(f"{WORK}/wandb_stub/openpyxl/styles.py", "w") as f:
+        f.write("from openpyxl import (Alignment, Border, Color, Fill, Font,"
+                " GradientFill, NamedStyle, PatternFill, Protection, Side)"
+                "  # noqa\n")
     open(f"{WORK}/dataset/__init__.py", "w").close()
     open(f"{WORK}/dataset/aliccp/__init__.py", "w").close()
     with open(f"{WORK}/wandb_stub/wandb/__init__.py", "w") as f:
@@ -186,16 +203,20 @@ def run_ours_aliccp(model: str, epochs: int, csv: str, seed: int = 7):
 
 
 def run_reference(model: str, epochs: int, strategy: str = "mix", seed: int = 7,
-                  dataset: str = "amazon"):
+                  dataset: str = "amazon", extra_flags=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{WORK}/wandb_stub:{WORK}:/root/reference"
     cmd = [sys.executable, "/root/reference/main.py", "--model", model,
            "--dataset_name", dataset, "--bs", "512", "--embed_dim", "16",
            "--epoch", str(epochs), "--lr", "1e-3", "--is_set_seed", "1",
-           "--seed", str(seed), "--group_strategy", strategy]
+           "--seed", str(seed), "--group_strategy", strategy,
+           *map(str, extra_flags)]
     r = subprocess.run(cmd, cwd=WORK, env=env, capture_output=True,
                        text=True, timeout=14400)
-    lines = [l for l in r.stdout.splitlines() if "validation" in l]
+    keep = ("validation", "test: ", "domain2group_list",
+            "current best epoch", "s_group2domain_list")
+    lines = [l for l in r.stdout.splitlines()
+             if any(k in l for k in keep) and "wandb" not in l]
     print(f"REFERENCE {model} (seed {seed}):")
     for l in lines:
         print("   ", l)
@@ -257,6 +278,50 @@ def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix", seed: int
     return out
 
 
+def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict):
+    """Full CDC procedure (warmup -> cadence matrix updates -> re-clustered
+    split training -> mean-AUC early stop -> best reload) on the shared
+    amazon-format CSV — the tpurec side of the head-to-head against the
+    reference's train_cdc (run.py:596-645, main.py:31-40)."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import pandas as pd
+
+    from tpurec.cdc.engine import CDCTrainer
+    from tpurec.config import CDCConfig, Config, ModelConfig, TrainConfig
+
+    df = pd.read_csv(csv)
+    x_cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
+              "sales_rank", "brand", "price"]
+    X = df[x_cols].values.astype(np.int32)
+    y = df["label"].values.astype(np.float32)
+    ts = df["timestamp"].values
+    tv, vt = np.quantile(ts, 0.9), np.quantile(ts, 0.95)
+    tr_m, va_m, te_m = ts < tv, (ts >= tv) & (ts < vt), ts >= vt
+    field_dims = tuple(int(v) + 1 for v in X.max(0))
+    n_domain = int(df["domain"].nunique())
+
+    cfg = Config(
+        model=ModelConfig(model="cdc", embed_dim=16, dropout=0.2,
+                          mlp_dims=(256, 128, 64), use_atten=True,
+                          atten_embed_dim=64, att_layer_num=3,
+                          att_head_num=2),
+        train=TrainConfig(bs=512, epoch=epochs, seed=seed),
+        cdc=CDCConfig(base_model="mmoe", **cdc_kw),
+    )
+    tr = CDCTrainer(cfg, field_dims, n_domain, 3)
+    out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
+                 test=(X[te_m], y[te_m]))
+    print(f"OURS cdc (seed {seed}): "
+          f"valid_auc={out['valid']['total_auc']:.4f} "
+          f"valid_mean_auc={out['valid']['mean_auc']:.4f} "
+          f"test_auc={out['test']['total_auc']:.4f} "
+          f"test_mean_auc={out['test']['mean_auc']:.4f}", flush=True)
+    print(f"OURS cdc (seed {seed}): domain2group_list: "
+          f"{out['domain2group_list']}", flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="mmoe,deepfm")
@@ -279,6 +344,15 @@ def main():
                     choices=["cpu", "default"])
     ap.add_argument("--dataset", default="amazon",
                     choices=["amazon", "aliccp"])
+    # reduced CDC settings (both sides identically) so the reference's
+    # train_cdc finishes on CPU — VERDICT r3 item 1
+    ap.add_argument("--n_cluster", type=int, default=3)
+    ap.add_argument("--n_causal_mask", type=int, default=8)
+    ap.add_argument("--cdc_warmup", type=int, default=25,
+                    help="warmup_step in the reference's 1024-row units")
+    ap.add_argument("--cdc_interval", type=int, default=20,
+                    help="update_interval in 1024-row units")
+    ap.add_argument("--cdc_matrix_step", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -319,6 +393,28 @@ def main():
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [args.seed])
     for m in args.models.split(","):
+        if m == "cdc":
+            cdc_kw = dict(n_cluster=args.n_cluster,
+                          n_causal_mask=args.n_causal_mask,
+                          warmup_step=args.cdc_warmup,
+                          update_matrix_step=args.cdc_matrix_step,
+                          update_interval=args.cdc_interval)
+            ref_flags = ["--base_model", "mmoe",
+                         "--n_cluster", args.n_cluster,
+                         "--n_causal_mask", args.n_causal_mask,
+                         "--warmup_step", args.cdc_warmup,
+                         "--update_matrix_step", args.cdc_matrix_step,
+                         "--update_interval", args.cdc_interval]
+            for s in seeds:
+                if not args.skip_reference:
+                    try:
+                        run_reference("cdc", args.epochs, "mix", s,
+                                      extra_flags=ref_flags)
+                    except Exception as e:
+                        print(f"REFERENCE cdc errored: {e}")
+                if not args.skip_ours:
+                    run_ours_cdc(args.epochs, csv, s, cdc_kw)
+            continue
         # reference epnet/hinet squeeze their n_tower=1 output and crash
         # under mix (run.py:484); their working config is group split
         strategy = "split" if ":" not in m and m in ("epnet", "hinet") else "mix"

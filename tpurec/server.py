@@ -99,8 +99,23 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8080,
                 **stats,
             })
 
+        def _drain_body(self) -> None:
+            # HTTP/1.1 keep-alive: an early-exit reply that leaves the
+            # request body unread desyncs the persistent connection (the
+            # body bytes get parsed as the NEXT request).  Consume them.
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                length = 0
+            while length > 0:
+                chunk = self.rfile.read(min(length, 64 * 1024))
+                if not chunk:
+                    break
+                length -= len(chunk)
+
         def do_POST(self):
             if self.path != "/predict":
+                self._drain_body()
                 return self._reply(404, {"error": f"unknown path {self.path}"})
             try:
                 length = int(self.headers.get("Content-Length", 0))

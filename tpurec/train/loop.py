@@ -411,6 +411,8 @@ class Trainer:
         n_batches = 0
         pending = []
         device_losses = []  # per-dispatch sums; fetched once at epoch end
+        fetched_sum, rows_since_log = 0.0, 0
+        log_interval = max(1, self.cfg.train.log_interval_rows // bs)
         for batch in local_stream():
             pending.append(batch)
             if len(pending) < K and n_batches + len(pending) < nb:
@@ -430,13 +432,22 @@ class Trainer:
             # assembly with this dispatch's compute
             device_losses.append(jnp.sum(losses))
             n_batches += len(pending)
+            rows_since_log += len(pending)
             pending = []
-            if log_fn is not None:
-                log_fn({"train_loss": float(np.sum(
-                    [np.asarray(l) for l in device_losses])) / n_batches,
-                    "epoch": epoch_i, "it": n_batches})
-        loss_sum = float(np.sum([np.asarray(l) for l in device_losses])) \
-            if device_losses else 0.0
+            if log_fn is not None and rows_since_log >= log_interval:
+                # drain the pending device sums into a running host total
+                # (one O(1) fetch per log tick, not an O(n) reconversion of
+                # every prior dispatch — that silently re-serialized the
+                # epoch whenever logging was on)
+                fetched_sum += float(np.sum(
+                    [np.asarray(l) for l in device_losses]))
+                device_losses.clear()
+                rows_since_log = 0
+                log_fn({"train_loss": fetched_sum / n_batches,
+                        "epoch": epoch_i, "it": n_batches})
+        loss_sum = fetched_sum + (
+            float(np.sum([np.asarray(l) for l in device_losses]))
+            if device_losses else 0.0)
         return loss_sum / max(n_batches, 1)
 
     EVAL_CHUNK = 128  # batches per eval dispatch (device-resident path)

@@ -12,6 +12,7 @@ numeric matrix.
 
 from __future__ import annotations
 
+import math
 import zipfile
 
 import numpy as np
@@ -84,7 +85,12 @@ def write_matrix_xlsx(path: str, matrix: np.ndarray) -> None:
         rows.append(f'<row r="{i + 2}">')
         for j in range(n_col):
             v = float(matrix[i, j])
-            rows.append(f'<c r="{_col_name(j)}{i + 2}"><v>{v!r}</v></c>')
+            if math.isfinite(v):
+                rows.append(f'<c r="{_col_name(j)}{i + 2}"><v>{v!r}</v></c>')
+            else:
+                # NaN/Inf are not valid SpreadsheetML numeric cells; an
+                # empty cell is what pandas' writer produces for NaN
+                rows.append(f'<c r="{_col_name(j)}{i + 2}"/>')
         rows.append("</row>")
     sheet = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -108,5 +114,14 @@ def read_matrix_xlsx(path: str) -> np.ndarray:
         sheet = zf.read("xl/worksheets/sheet1.xml").decode()
     rows = []
     for row_xml in re.findall(r"<row [^>]*>(.*?)</row>", sheet):
-        rows.append([float(v) for v in re.findall(r"<v>([^<]+)</v>", row_xml)])
+        cells = re.findall(
+            r'<c r="([A-Z]+)\d+"(?:/>|>(?:<v>([^<]*)</v>)?</c>)', row_xml)
+        vals = {}
+        for col, v in cells:
+            j = 0
+            for ch in col:
+                j = j * 26 + (ord(ch) - ord("A") + 1)
+            vals[j - 1] = float(v) if v else float("nan")
+        n = max(vals) + 1 if vals else 0
+        rows.append([vals.get(j, float("nan")) for j in range(n)])
     return np.asarray(rows[1:])  # drop header row
