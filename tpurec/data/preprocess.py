@@ -470,11 +470,166 @@ class AliCCPPreprocessor:
             df[fea], _ = _label_encode(df[fea])
         return df
 
-    def main(self, train_csv: str, val_csv: str, test_csv: str) -> pd.DataFrame:
+    def main(self, train_csv: str, val_csv: str, test_csv: str,
+             streaming: Optional[bool] = None,
+             chunksize: int = 2_000_000) -> pd.DataFrame:
+        """``streaming=None`` (default) picks the chunked low-memory path
+        whenever it is bit-exact (uniform KBins); ``False`` forces the
+        whole-DataFrame path (required for 'quantile' discretization,
+        whose sklearn subsampling depends on the full column)."""
         if os.path.exists(self.preprocess_path):
+            return pd.read_csv(self.preprocess_path)
+        if streaming is None:
+            streaming = self.discrete_method == "uniform"
+        if streaming:
+            if self.discrete_method != "uniform":
+                raise ValueError(
+                    "streaming path is only bit-exact for uniform KBins")
+            self._run_streaming(train_csv, val_csv, test_csv, chunksize)
             return pd.read_csv(self.preprocess_path)
         dfs = [reduce_mem(pd.read_csv(p)) for p in (train_csv, val_csv, test_csv)]
         dfs = self.discretize(dfs)
         out = self.filter_and_sample(dfs)
         out.to_csv(self.preprocess_path, index=False)
         return out
+
+    # -- streaming path (bounded memory, bit-identical to main) ------------
+    #
+    # The in-memory path holds all three splits as DataFrames plus a full
+    # concat copy (9.3 GB RSS measured at 20M rows — docs/RESULTS.md);
+    # extrapolated, the real 85M-row Ali-CCP needs ~40 GB host RAM.  The
+    # streaming rebuild keeps only three compact id columns (user, item,
+    # domain) resident and makes two chunked passes over the CSVs:
+    #
+    #   pass 1: per-column min/max for the KBins fit + the compact id
+    #           arrays; all count-based decisions (frequency filter,
+    #           per-domain nunique filter, domain sampling, re-encoding)
+    #           then run on pandas Series built from those arrays IN THE
+    #           SAME ROW ORDER as the in-memory concat, so every
+    #           value_counts tie-order and rng draw matches exactly;
+    #   pass 2: re-read chunks, apply the precomputed row mask and column
+    #           transforms, append to the output CSV.
+    #
+    # Uniform-strategy KBins depends only on the column min/max, so
+    # fitting the same sklearn discretizer on the two-row [[min],[max]]
+    # frame reproduces the in-memory path's bin edges bit-for-bit
+    # (including the reduce_mem float32 round-trip, which is why min/max
+    # are taken AFTER the same downcast rule).
+
+    _ID_COLS = ("101", "205", "206")  # userid, itemid, domain (raw names)
+
+    @staticmethod
+    def _downcast_float_dtype(cmin: float, cmax: float):
+        """The dtype reduce_mem would pick for a float column."""
+        f32 = np.finfo(np.float32)
+        return np.float32 if (cmin >= f32.min and cmax <= f32.max) else np.float64
+
+    def _fit_discretizers(self, stats: Dict[str, Tuple[float, float]]):
+        from sklearn.preprocessing import KBinsDiscretizer
+
+        discs = {}
+        for col, (cmin, cmax) in stats.items():
+            dt = self._downcast_float_dtype(cmin, cmax)
+            disc = KBinsDiscretizer(n_bins=10, encode="ordinal",
+                                    strategy="uniform")
+            disc.fit(np.array([[cmin], [cmax]], dtype=dt))
+            discs[col] = disc
+        return discs
+
+    def _run_streaming(self, train_csv: str, val_csv: str, test_csv: str,
+                       chunksize: int) -> None:
+        paths = (train_csv, val_csv, test_csv)
+        dense = [c for c in ALICCP_DENSE
+                 if c in pd.read_csv(train_csv, nrows=0).columns]
+
+        # ---- pass 1: stats + compact id columns --------------------------
+        users, items, domains = [], [], []
+        train_minmax: Dict[str, Tuple[float, float]] = {}
+        file_minmax: List[Dict[str, Tuple[float, float]]] = []
+        for tag, path in enumerate(paths):
+            fmm: Dict[str, Tuple[float, float]] = {}
+            for chunk in pd.read_csv(
+                    path, chunksize=chunksize,
+                    usecols=list(self._ID_COLS) + dense):
+                users.append(chunk["101"].to_numpy(np.int64, copy=True))
+                items.append(chunk["205"].to_numpy(np.int64, copy=True))
+                domains.append(chunk["206"].to_numpy(np.int64, copy=True))
+                for c in dense:
+                    lo = float(chunk[c].min())
+                    hi = float(chunk[c].max())
+                    if c in fmm:
+                        fmm[c] = (min(fmm[c][0], lo), max(fmm[c][1], hi))
+                    else:
+                        fmm[c] = (lo, hi)
+            file_minmax.append(fmm)
+            if tag == 0:
+                train_minmax = fmm
+        users = pd.Series(np.concatenate(users))
+        items = pd.Series(np.concatenate(items))
+        domain_s = pd.Series(np.concatenate(domains))
+        del domains
+
+        # ---- decisions (same ops, same order as filter_and_sample) -------
+        uc = users.value_counts()
+        ic = items.value_counts()
+        valid = (users.isin(uc[uc >= self.thresh].index)
+                 & items.isin(ic[ic >= self.thresh].index)).to_numpy()
+        del uc, ic
+        sub = pd.DataFrame({"userid": users[valid], "itemid": items[valid],
+                            "domain": domain_s[valid]})
+        del users, items
+        nun = sub.groupby("domain")[["userid", "itemid"]].nunique()
+        keep_dom = nun[(nun["userid"] >= self.thresh * 20)
+                       & (nun["itemid"] >= self.thresh * 20)].index
+        m2 = sub["domain"].isin(keep_dom).to_numpy()
+        sub = sub[m2]
+        counts = sub["domain"].value_counts().sort_values(ascending=False)
+
+        selected, sub = self._select_domains(counts, sub)
+        m3 = sub["domain"].isin(selected).to_numpy()
+        sub = sub[m3]
+
+        order = sub["domain"].value_counts().sort_values(ascending=False).index
+        dom_map = {d: i for i, d in enumerate(order)}
+        self.domain2encoder_dict = {str(d): i for d, i in dom_map.items()}
+        final_domain = sub["domain"].map(dom_map).to_numpy(np.int64)
+        enc_cols = {}
+        for fea in ["userid", "itemid"]:
+            enc, _ = _label_encode(sub[fea])
+            enc_cols[fea] = enc.to_numpy(np.int64)
+
+        # global keep mask over the concatenated row order
+        keep = valid.copy()
+        keep[np.flatnonzero(valid)[~m2]] = False
+        keep[np.flatnonzero(keep)[~m3]] = False
+        assert int(keep.sum()) == len(sub)
+        del sub, valid, m2, m3
+
+        discs = self._fit_discretizers({c: train_minmax[c] for c in dense})
+
+        # ---- pass 2: transform + append ----------------------------------
+        rename = {"101": "userid", "205": "itemid", "206": "domain"}
+        row_off = kept_off = 0
+        first = True
+        for tag, path in enumerate(paths):
+            fmm = file_minmax[tag]
+            for chunk in pd.read_csv(path, chunksize=chunksize):
+                n = len(chunk)
+                cmask = keep[row_off:row_off + n]
+                row_off += n
+                out = chunk.iloc[np.flatnonzero(cmask)].copy()
+                k = len(out)
+                out.rename(columns=rename, inplace=True)
+                out["userid"] = enc_cols["userid"][kept_off:kept_off + k]
+                out["itemid"] = enc_cols["itemid"][kept_off:kept_off + k]
+                out["domain"] = final_domain[kept_off:kept_off + k]
+                kept_off += k
+                for c in dense:
+                    dt = self._downcast_float_dtype(*fmm[c])
+                    out[c] = discs[c].transform(
+                        out[[c]].astype(dt)).astype(int)
+                out["train_tag"] = tag
+                out.to_csv(self.preprocess_path, mode="w" if first else "a",
+                           header=first, index=False)
+                first = False
+        assert kept_off == len(final_domain)
