@@ -28,12 +28,45 @@ def main():
     ap.add_argument("--rows", type=int, default=20_000_000)
     ap.add_argument("--workdir", default="/tmp/prep_scale")
     ap.add_argument("--domains", type=int, default=50)
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip gen_raw/convert when the split CSVs exist "
+                         "(isolates the AliCCPPreprocessor stage, whose "
+                         "peak RSS would otherwise be masked by the "
+                         "process-wide ru_maxrss of earlier stages)")
+    ap.add_argument("--gen_only", action="store_true",
+                    help="stop after gen_raw + convert + split (prepare "
+                         "files for isolated --reuse measurements)")
+    ap.add_argument("--in_memory", action="store_true",
+                    help="force the whole-DataFrame path (the pre-round-4 "
+                         "behavior) for A/B against the streaming default")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
     from run_e2e_aliccp import gen_raw
 
     from tpurec.data.preprocess import AliCCPPreprocessor, convert_raw_aliccp
+
+    if args.reuse and os.path.exists(
+            os.path.join(args.workdir, "ali_ccp_test.csv")):
+        train_csv = os.path.join(args.workdir, "ali_ccp_train.csv")
+        val_csv = os.path.join(args.workdir, "ali_ccp_val.csv")
+        test_csv = os.path.join(args.workdir, "ali_ccp_test.csv")
+        t0 = time.perf_counter()
+        pre = AliCCPPreprocessor(args.workdir, sample_n_domain=args.domains)
+        if os.path.exists(pre.preprocess_path):
+            os.unlink(pre.preprocess_path)
+        pre.main(train_csv, val_csv, test_csv,
+                 streaming=False if args.in_memory else None,
+                 return_frame=False)
+        dt = time.perf_counter() - t0
+        import pandas as pd
+
+        dom = pd.read_csv(pre.preprocess_path, usecols=["domain"])["domain"]
+        mode = "in-memory" if args.in_memory else "streaming"
+        print(f"AliCCPPreprocessor[{mode}]: {dt:.0f}s -> {len(dom):,} rows, "
+              f"{dom.nunique()} domains "
+              f"(peak RSS {rss_gb():.2f}GB)", flush=True)
+        return
 
     t0 = time.perf_counter()
     skel, common = gen_raw(args.workdir, args.rows)
@@ -60,6 +93,8 @@ def main():
     va.iloc[: len(va) // 2].to_csv(val_csv, index=False)
     va.iloc[len(va) // 2:].to_csv(test_csv, index=False)
     del va
+    if args.gen_only:
+        return
 
     t0 = time.perf_counter()
     pre = AliCCPPreprocessor(args.workdir, sample_n_domain=args.domains)

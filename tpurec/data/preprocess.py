@@ -472,13 +472,17 @@ class AliCCPPreprocessor:
 
     def main(self, train_csv: str, val_csv: str, test_csv: str,
              streaming: Optional[bool] = None,
-             chunksize: int = 2_000_000) -> pd.DataFrame:
+             chunksize: int = 2_000_000,
+             return_frame: bool = True) -> Optional[pd.DataFrame]:
         """``streaming=None`` (default) picks the chunked low-memory path
         whenever it is bit-exact (uniform KBins); ``False`` forces the
         whole-DataFrame path (required for 'quantile' discretization,
-        whose sklearn subsampling depends on the full column)."""
+        whose sklearn subsampling depends on the full column).
+        ``return_frame=False`` skips reading the written CSV back —
+        callers that only need the file keep the streaming path's
+        bounded-memory property."""
         if os.path.exists(self.preprocess_path):
-            return pd.read_csv(self.preprocess_path)
+            return pd.read_csv(self.preprocess_path) if return_frame else None
         if streaming is None:
             streaming = self.discrete_method == "uniform"
         if streaming:
@@ -486,7 +490,8 @@ class AliCCPPreprocessor:
                 raise ValueError(
                     "streaming path is only bit-exact for uniform KBins")
             self._run_streaming(train_csv, val_csv, test_csv, chunksize)
-            return pd.read_csv(self.preprocess_path)
+            return (pd.read_csv(self.preprocess_path) if return_frame
+                    else None)
         dfs = [reduce_mem(pd.read_csv(p)) for p in (train_csv, val_csv, test_csv)]
         dfs = self.discretize(dfs)
         out = self.filter_and_sample(dfs)

@@ -24,6 +24,9 @@ class SyntheticMultiDomain:
     domain_idx: int
     n_domain: int
     split: np.ndarray      # int8 [N]; 0=train 1=valid 2=test (train_tag style)
+    # ground-truth domain cluster assignment when the generator was asked
+    # for clustered domain effects (domain_cluster_k); None otherwise
+    domain_cluster: Optional[np.ndarray] = None
 
     @property
     def train(self):
@@ -55,7 +58,15 @@ def make_synthetic(
     latent_dim: int = 4,
     seed: int = 0,
     domain_skew: float = 1.0,
+    domain_cluster_k: Optional[int] = None,
+    domain_cluster_noise: float = 0.15,
 ) -> SyntheticMultiDomain:
+    """``domain_cluster_k=K`` draws the per-domain slope/bias from K
+    latent cluster centers (plus ``domain_cluster_noise`` jitter) instead
+    of independently per domain — a known ground-truth grouping for
+    evaluating whether CDC's causal clustering recovers real structure
+    (scripts/ablate_cdc_benefit.py).  Default None preserves the original
+    draw sequence exactly, so all existing seeds stay bit-identical."""
     rng = np.random.default_rng(seed)
     if field_dims is None:
         field_dims = tuple(
@@ -78,8 +89,19 @@ def make_synthetic(
 
     # ground-truth latent factors per field value + per-domain slope/bias
     factors = [rng.normal(0, 1, size=(dim, latent_dim)) for dim in field_dims]
-    domain_slope = rng.normal(1.0, 0.5, size=(n_domain, latent_dim))
-    domain_bias = rng.normal(0.0, 0.7, size=n_domain)
+    domain_cluster = None
+    if domain_cluster_k is not None:
+        centers = rng.normal(1.0, 0.5, size=(domain_cluster_k, latent_dim))
+        center_bias = rng.normal(0.0, 0.7, size=domain_cluster_k)
+        domain_cluster = rng.integers(0, domain_cluster_k, size=n_domain)
+        domain_slope = (centers[domain_cluster]
+                        + rng.normal(0, domain_cluster_noise,
+                                     size=(n_domain, latent_dim)))
+        domain_bias = (center_bias[domain_cluster]
+                       + rng.normal(0, domain_cluster_noise, size=n_domain))
+    else:
+        domain_slope = rng.normal(1.0, 0.5, size=(n_domain, latent_dim))
+        domain_bias = rng.normal(0.0, 0.7, size=n_domain)
 
     z = np.zeros((n_rows, latent_dim))
     for f in range(n_fields):
@@ -101,4 +123,5 @@ def make_synthetic(
     return SyntheticMultiDomain(
         X=X, y=y, field_dims=tuple(int(v) for v in field_dims),
         domain_idx=domain_idx, n_domain=n_domain, split=split,
+        domain_cluster=domain_cluster,
     )
