@@ -333,6 +333,10 @@ def main():
                          "runs every (model, seed) pair on the same data "
                          "(multi-seed parity, VERDICT round-2 item 3)")
     ap.add_argument("--skip_ours", action="store_true")
+    ap.add_argument("--reuse_data", action="store_true",
+                    help="skip dataset generation when the shared CSV "
+                         "already exists (lets parallel invocations share "
+                         "one workdir without racing on the writes)")
     ap.add_argument("--rows", type=int, default=30000)
     ap.add_argument("--domains", type=int, default=6)
     ap.add_argument("--user_vocab", type=int, default=None)
@@ -389,7 +393,10 @@ def main():
                             "without --skip_reference first")
                     run_ours_aliccp(m, args.epochs, pre_csv, s)
         return
-    csv = gen_data(args.rows, args.domains, args.user_vocab, args.item_vocab)
+    csv = f"{WORK}/dataset/amazon/prepare2train_filter_12month.csv"
+    if not (args.reuse_data and os.path.exists(csv)):
+        csv = gen_data(args.rows, args.domains, args.user_vocab,
+                       args.item_vocab)
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [args.seed])
     for m in args.models.split(","):

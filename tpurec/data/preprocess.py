@@ -537,7 +537,10 @@ class AliCCPPreprocessor:
             dt = self._downcast_float_dtype(cmin, cmax)
             disc = KBinsDiscretizer(n_bins=10, encode="ordinal",
                                     strategy="uniform")
-            disc.fit(np.array([[cmin], [cmax]], dtype=dt))
+            # named 2-row frame: uniform edges depend only on min/max, and
+            # fitting WITH feature names matches the in-memory path (and
+            # silences sklearn's per-chunk feature-name warnings)
+            disc.fit(pd.DataFrame({col: np.array([cmin, cmax], dtype=dt)}))
             discs[col] = disc
         return discs
 
