@@ -42,8 +42,52 @@ def setup_workdir():
     open(f"{WORK}/dataset/__init__.py", "w").close()
     open(f"{WORK}/dataset/aliccp/__init__.py", "w").close()
     with open(f"{WORK}/wandb_stub/wandb/__init__.py", "w") as f:
-        f.write("def init(*a, **k):\n    return None\n"
-                "def log(*a, **k):\n    return None\n")
+        f.write("""\
+def init(*a, **k):
+    return None
+
+
+def log(*a, **k):
+    return None
+
+
+# --- ADL eval-drift probe (VERDICT r3 item 6) ---------------------------
+# The reference's DLM_routing EMA-updates its cluster centers on EVERY
+# forward including eval (model/adl.py:63-79 has no training check);
+# tpurec freezes centers during eval (documented divergence,
+# tpurec/models/adl.py).  With REF_ADL_FREEZE_EVAL_CENTERS=1 this stub
+# (imported by the reference's main.py before any training) patches the
+# reference to ALSO freeze centers during eval, isolating the effect of
+# that one divergence on the reference's own numbers.
+import os
+
+if os.environ.get("REF_ADL_FREEZE_EVAL_CENTERS"):
+    import torch
+    import torch.nn.functional as F
+    from model.adl import ADL
+
+    _orig_forward = ADL.forward
+
+    def _forward(self, x, group=None, targets=None, is_training=True):
+        self._freeze_centers = not is_training
+        return _orig_forward(self, x, group=group, targets=targets,
+                             is_training=is_training)
+
+    def _dlm_routing(self, embed_x):
+        with torch.no_grad():
+            similarity = torch.matmul(embed_x, self.cluster_centers.t())
+            coeff = F.softmax(similarity, dim=1)
+            if not getattr(self, "_freeze_centers", False):
+                weighted_sum = torch.matmul(coeff.t(), embed_x)
+                tmp = F.normalize(weighted_sum, p=2, dim=1)
+                self.cluster_centers = F.normalize(
+                    self.dlm_update_rate * self.cluster_centers
+                    + (1 - self.dlm_update_rate) * tmp, p=2, dim=1)
+        return coeff
+
+    ADL.forward = _forward
+    ADL.DLM_routing = _dlm_routing
+""")
     with open(f"{WORK}/dataset/aliccp/preprocess_ali_ccp.py", "w") as f:
         f.write("import sys\n"
                 f"sys.path.insert(0, {REPO!r})\n"
