@@ -90,6 +90,12 @@ def main():
     ap.add_argument("--cluster_k", type=int, default=None,
                     help="generate domains from K ground-truth clusters")
     ap.add_argument("--data_seed", type=int, default=0)
+    ap.add_argument("--skew", type=float, default=1.2,
+                    help="domain-size dirichlet alpha (smaller = more "
+                         "tiny domains that must borrow strength)")
+    ap.add_argument("--cluster_noise", type=float, default=0.15,
+                    help="within-cluster jitter of domain effects "
+                         "(smaller = sharper ground-truth structure)")
     ap.add_argument("--arms", default="cdc,mix,split,random4")
     ap.add_argument("--platform", default="default", choices=["default", "cpu"])
     args = ap.parse_args()
@@ -104,9 +110,10 @@ def main():
 
     data = make_synthetic(
         n_rows=args.rows, n_fields=23, n_domain=args.domains, domain_idx=10,
-        seed=args.data_seed, domain_skew=1.2,
+        seed=args.data_seed, domain_skew=args.skew,
         field_dims=FIELD_DIMS_50[:10] + (args.domains,) + FIELD_DIMS_50[11:],
         domain_cluster_k=args.cluster_k,
+        domain_cluster_noise=args.cluster_noise,
     )
     if data.domain_cluster is not None:
         print(f"ground-truth clusters: {data.domain_cluster.tolist()}",
