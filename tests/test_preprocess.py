@@ -314,3 +314,9 @@ def test_aliccp_streaming_bit_identical(tmp_path, rng, mode):
     assert p_mem.domain2encoder_dict == p_str.domain2encoder_dict
     pd.testing.assert_frame_equal(out_mem.reset_index(drop=True),
                                   out_str, check_dtype=False)
+
+
+def test_aliccp_streaming_rejects_quantile(tmp_path):
+    pre = AliCCPPreprocessor(str(tmp_path), discrete_method="quantile")
+    with pytest.raises(ValueError, match="uniform"):
+        pre.main("a.csv", "b.csv", "c.csv", streaming=True)
