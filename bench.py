@@ -43,7 +43,12 @@ FIELD_DIMS = (
 DOMAIN_IDX = 10
 N_TOWER = 4
 BS = 512
-K = 16          # steps per scanned dispatch
+# steps per scanned dispatch = TrainConfig.steps_per_dispatch's default
+# (overridable for dispatch-amortization experiments, which must not
+# change the metric: examples/sec at the reference bs=512; round-4
+# sweep: 244.7k/263.6k/274.4k/278.3k at K=16/32/64/128 — 64 amortizes
+# the per-dispatch submission latency with diminishing returns beyond)
+K = int(os.environ.get("TPUREC_BENCH_K", 64))
 WARMUP, MEASURE = 2, 8
 
 

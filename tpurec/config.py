@@ -178,8 +178,11 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # train steps fused into one scanned device dispatch (amortizes the
     # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1
-    # disables scanning
-    steps_per_dispatch: int = 16
+    # disables scanning.  64 measured +12% over 16 on the host-fed path
+    # (bench.py K-sweep, round 4: 244.7k/263.6k/274.4k/278.3k ex/s at
+    # K=16/32/64/128); the device-resident epoch path batches into long
+    # scans independently of this setting.
+    steps_per_dispatch: int = 64
     # 'hybrid' (default): exact dense-Adam semantics via the small/big
     #   field split (tpurec.train.hybrid) — small-vocab fields' grads
     #   reduce to per-slice matmuls, big-field rows get two-phase exact
