@@ -334,3 +334,48 @@ def test_http_server_predict_and_health(data, trained):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_server_keepalive_404_drains_body(data, trained):
+    """Regression (advisor r3): a POST to an unknown path must consume its
+    request body before replying, or the unread bytes desync the
+    persistent HTTP/1.1 connection and the NEXT request parses garbage."""
+    import http.client
+    import json
+    import threading
+
+    from tpurec.server import make_server
+
+    cfg, tr = trained
+    pred = Predictor(cfg, data.field_dims, data.n_domain, data.domain_idx,
+                     domain2group=np.arange(data.n_domain),
+                     batch_sizes=(64,)).load_from_trainer(tr)
+    srv = make_server(pred, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1",
+                                          srv.server_address[1], timeout=30)
+        big_body = json.dumps({"junk": "x" * 5000}).encode()
+        conn.request("POST", "/nope", body=big_body,
+                     headers={"Content-Type": "application/json"})
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+
+        rng = np.random.default_rng(0)
+        X = np.stack([rng.integers(0, d, 4) for d in data.field_dims],
+                     1).astype(int)
+        body = json.dumps({"instances": X.tolist()}).encode()
+        # same (kept-alive) connection: succeeds only if the 404 path
+        # drained big_body
+        conn.request("POST", "/predict", body=body,
+                     headers={"Content-Type": "application/json"})
+        r2 = conn.getresponse()
+        assert r2.status == 200, r2.read()[:200]
+        out = json.loads(r2.read())
+        assert len(out["predictions"]) == 4
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
