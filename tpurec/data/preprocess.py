@@ -633,7 +633,10 @@ class AliCCPPreprocessor:
                 out["domain"] = final_domain[kept_off:kept_off + k]
                 kept_off += k
                 for c in dense:
-                    dt = self._downcast_float_dtype(*fmm[c])
+                    # fall back to the train stats for a split whose pass-1
+                    # chunks were empty (dtype choice is moot with no rows)
+                    dt = self._downcast_float_dtype(
+                        *fmm.get(c, train_minmax[c]))
                     out[c] = discs[c].transform(
                         out[[c]].astype(dt)).astype(int)
                 out["train_tag"] = tag
