@@ -69,7 +69,13 @@ def run_arm(arm, data, seed, epochs, n_cluster):
             "mix": np.zeros(data.n_domain, np.int64),
             "split": np.arange(data.n_domain, dtype=np.int64),
             "random4": rng.integers(0, n_cluster, data.n_domain).astype(np.int64),
+            # oracle = the generator's ground-truth clustering (upper bound
+            # for what CDC's recovered grouping can buy)
+            "oracle": (None if data.domain_cluster is None
+                       else data.domain_cluster.astype(np.int64)),
         }[arm]
+        if d2g is None:
+            raise ValueError("oracle arm requires --cluster_k")
         cfg = Config(model=ModelConfig(model="mmoe", **mcfg_kw), train=tcfg)
         tr = Trainer(cfg, data.field_dims, data.n_domain, data.domain_idx,
                      domain2group=d2g)
@@ -96,6 +102,9 @@ def main():
     ap.add_argument("--cluster_noise", type=float, default=0.15,
                     help="within-cluster jitter of domain effects "
                          "(smaller = sharper ground-truth structure)")
+    ap.add_argument("--conflict", action="store_true",
+                    help="antipodal cluster label functions (negative-"
+                         "transfer regime; see make_synthetic docstring)")
     ap.add_argument("--arms", default="cdc,mix,split,random4")
     ap.add_argument("--platform", default="default", choices=["default", "cpu"])
     args = ap.parse_args()
@@ -114,6 +123,7 @@ def main():
         field_dims=FIELD_DIMS_50[:10] + (args.domains,) + FIELD_DIMS_50[11:],
         domain_cluster_k=args.cluster_k,
         domain_cluster_noise=args.cluster_noise,
+        domain_cluster_conflict=args.conflict,
     )
     if data.domain_cluster is not None:
         print(f"ground-truth clusters: {data.domain_cluster.tolist()}",

@@ -60,13 +60,26 @@ def make_synthetic(
     domain_skew: float = 1.0,
     domain_cluster_k: Optional[int] = None,
     domain_cluster_noise: float = 0.15,
+    domain_cluster_conflict: bool = False,
 ) -> SyntheticMultiDomain:
     """``domain_cluster_k=K`` draws the per-domain slope/bias from K
     latent cluster centers (plus ``domain_cluster_noise`` jitter) instead
     of independently per domain — a known ground-truth grouping for
     evaluating whether CDC's causal clustering recovers real structure
     (scripts/ablate_cdc_benefit.py).  Default None preserves the original
-    draw sequence exactly, so all existing seeds stay bit-identical."""
+    draw sequence exactly, so all existing seeds stay bit-identical.
+
+    ``domain_cluster_conflict=True`` (requires ``domain_cluster_k``)
+    switches the cluster centers to ANTIPODAL pairs of orthonormal latent
+    directions with zero bias: clusters 2j and 2j+1 score the SAME latent
+    factor with OPPOSITE sign.  This induces genuine negative transfer —
+    the regime the CDC paper targets (its published gains come from
+    domains whose label functions conflict, not merely differ): a tower
+    pooled over opposite-sign domains must learn a multiplicative
+    sign(domain)*h(x) interaction, while a tower per true cluster sees a
+    coherent task.  Shared embeddings stay conflict-free (the sign lives
+    in the readout), matching the reference's architecture where grouping
+    only re-routes towers (run.py:41-43,229)."""
     rng = np.random.default_rng(seed)
     if field_dims is None:
         field_dims = tuple(
@@ -90,10 +103,31 @@ def make_synthetic(
     # ground-truth latent factors per field value + per-domain slope/bias
     factors = [rng.normal(0, 1, size=(dim, latent_dim)) for dim in field_dims]
     domain_cluster = None
-    if domain_cluster_k is not None:
+    if domain_cluster_conflict and domain_cluster_k is None:
+        raise ValueError("domain_cluster_conflict requires domain_cluster_k")
+    if domain_cluster_k is not None and domain_cluster_conflict:
+        n_dir = (domain_cluster_k + 1) // 2
+        if n_dir > latent_dim:
+            raise ValueError("conflict mode needs latent_dim >= k/2 "
+                             "orthogonal directions")
+        # orthonormal directions via QR; clusters (2j, 2j+1) = ±direction j
+        q, _ = np.linalg.qr(rng.normal(0, 1, size=(latent_dim, n_dir)))
+        signs = np.array([1.0 if c % 2 == 0 else -1.0
+                          for c in range(domain_cluster_k)])
+        centers = 2.0 * signs[:, None] * q.T[np.arange(domain_cluster_k) // 2]
+        center_bias = np.zeros(domain_cluster_k)
+    elif domain_cluster_k is not None:
         centers = rng.normal(1.0, 0.5, size=(domain_cluster_k, latent_dim))
         center_bias = rng.normal(0.0, 0.7, size=domain_cluster_k)
-        domain_cluster = rng.integers(0, domain_cluster_k, size=n_domain)
+    if domain_cluster_k is not None:
+        if domain_cluster_conflict:
+            # balanced shuffled assignment: every cluster (so every
+            # antipodal partner) is populated — an i.i.d. draw can leave a
+            # sign unopposed at small n_domain, erasing the conflict
+            domain_cluster = rng.permutation(
+                np.arange(n_domain) % domain_cluster_k)
+        else:
+            domain_cluster = rng.integers(0, domain_cluster_k, size=n_domain)
         domain_slope = (centers[domain_cluster]
                         + rng.normal(0, domain_cluster_noise,
                                      size=(n_domain, latent_dim)))
