@@ -38,7 +38,8 @@ FIELD_DIMS_50 = (250000, 10, 10, 10, 10, 10, 10, 10, 10, 1368287, 50,
                  5000, 400, 3000, 80, 80, 60, 30, 12, 12, 12, 12, 4)
 
 
-def run_arm(arm, data, seed, epochs, n_cluster):
+def run_arm(arm, data, seed, epochs, n_cluster, update_interval=1000,
+            update_matrix_step=2, warmup_step=200):
     import jax
 
     from tpurec.config import CDCConfig, Config, ModelConfig, TrainConfig
@@ -51,15 +52,19 @@ def run_arm(arm, data, seed, epochs, n_cluster):
     tcfg = TrainConfig(bs=512, epoch=epochs, seed=seed,
                        embedding_moments_dtype="bfloat16")
     t0 = time.perf_counter()
-    if arm == "cdc":
+    if arm.startswith("cdc"):
         from tpurec.cdc.engine import CDCTrainer
 
+        # "cdc" = reference defaults; "cdc-strong" = 4x counterfactual
+        # probe steps (stronger per-probe affinity signal at small scale)
+        ums = update_matrix_step * 4 if arm == "cdc-strong" else update_matrix_step
         cfg = Config(
             model=ModelConfig(model="cdc", **mcfg_kw),
             train=tcfg,
             cdc=CDCConfig(base_model="mmoe", n_cluster=n_cluster,
-                          n_causal_mask=50, update_matrix_step=2,
-                          warmup_step=200, update_interval=1000),
+                          n_causal_mask=50, update_matrix_step=ums,
+                          warmup_step=warmup_step,
+                          update_interval=update_interval),
         )
         tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
         out = tr.fit(data.train, data.valid, test=data.test)
@@ -102,6 +107,16 @@ def main():
     ap.add_argument("--cluster_noise", type=float, default=0.15,
                     help="within-cluster jitter of domain effects "
                          "(smaller = sharper ground-truth structure)")
+    ap.add_argument("--update_interval", type=int, default=1000,
+                    help="CDC matrix-update cadence in steps (reference "
+                         "default 1000, tuned for 85M-row Ali-CCP; scale "
+                         "down proportionally for small synthetic runs)")
+    ap.add_argument("--update_matrix_step", type=int, default=2,
+                    help="CDC counterfactual probe steps per domain "
+                         "(reference default 2; cdc-strong arm uses 4x)")
+    ap.add_argument("--warmup_step", type=int, default=200,
+                    help="CDC warmup steps before first clustering "
+                         "(reference default 200)")
     ap.add_argument("--conflict", action="store_true",
                     help="antipodal cluster label functions (negative-"
                          "transfer regime; see make_synthetic docstring)")
@@ -132,7 +147,10 @@ def main():
     results = {}
     for seed in [int(s) for s in args.seeds.split(",")]:
         for arm in args.arms.split(","):
-            out = run_arm(arm, data, seed, args.epochs, args.n_cluster)
+            out = run_arm(arm, data, seed, args.epochs, args.n_cluster,
+                          update_interval=args.update_interval,
+                          update_matrix_step=args.update_matrix_step,
+                          warmup_step=args.warmup_step)
             rec = {
                 "valid_auc": round(float(out["valid"]["total_auc"]), 4),
                 "valid_mean_auc": round(float(out["valid"]["mean_auc"]), 4),
@@ -140,7 +158,7 @@ def main():
                 "test_mean_auc": round(float(out["test"]["mean_auc"]), 4),
                 "wall_s": out["wall_s"],
             }
-            if arm == "cdc" and data.domain_cluster is not None:
+            if arm.startswith("cdc") and data.domain_cluster is not None:
                 from sklearn.metrics import adjusted_rand_score
 
                 rec["ari_vs_truth"] = round(adjusted_rand_score(
