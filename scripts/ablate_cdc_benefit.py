@@ -56,15 +56,21 @@ def run_arm(arm, data, seed, epochs, n_cluster, update_interval=1000,
         from tpurec.cdc.engine import CDCTrainer
 
         # "cdc" = reference defaults; "cdc-strong" = 4x counterfactual
-        # probe steps (stronger per-probe affinity signal at small scale)
-        ums = update_matrix_step * 4 if arm == "cdc-strong" else update_matrix_step
+        # probe steps (stronger per-probe affinity signal at small scale);
+        # "cdc-plus" = strong probe + the tpurec cdc-plus extensions
+        # (averaged probe evals, mask EMA, cluster freeze — CDCConfig)
+        plus = arm == "cdc-plus"
+        ums = (update_matrix_step * 4 if arm in ("cdc-strong", "cdc-plus")
+               else update_matrix_step)
+        extra = (dict(probe_eval_batches=8, mask_ema=0.5,
+                      freeze_after_updates=3) if plus else {})
         cfg = Config(
             model=ModelConfig(model="cdc", **mcfg_kw),
             train=tcfg,
             cdc=CDCConfig(base_model="mmoe", n_cluster=n_cluster,
                           n_causal_mask=50, update_matrix_step=ums,
                           warmup_step=warmup_step,
-                          update_interval=update_interval),
+                          update_interval=update_interval, **extra),
         )
         tr = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
         out = tr.fit(data.train, data.valid, test=data.test)

@@ -94,7 +94,8 @@ if os.environ.get("REF_ADL_FREEZE_EVAL_CENTERS"):
                 "from tpurec.data.preprocess import reduce_mem  # noqa\n")
 
 
-def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None):
+def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None,
+             cluster_k=None, conflict=False):
     """Shared amazon-format CSV.  Defaults = the round-1 30k/6-domain set;
     --rows/--domains/--vocab grow it to reference-scale shape (Amazon = 25
     domains, run.py:51 schema) while keeping both sides on the same file."""
@@ -112,7 +113,12 @@ def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None):
                       40, 28, 5000, 28)
     data = make_synthetic(n_rows=n_rows, n_fields=8, n_domain=n_domain,
                           domain_idx=3, seed=11, domain_skew=1.2,
-                          field_dims=field_dims)
+                          field_dims=field_dims,
+                          domain_cluster_k=cluster_k,
+                          domain_cluster_conflict=conflict)
+    if data.domain_cluster is not None:
+        print(f"GROUND-TRUTH clusters: {data.domain_cluster.tolist()}",
+              flush=True)
     cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
             "sales_rank", "brand", "price"]
     ts = np.zeros(len(data.y), np.int64)
@@ -395,6 +401,11 @@ def main():
     # reduced CDC settings (both sides identically) so the reference's
     # train_cdc finishes on CPU — VERDICT r3 item 1
     ap.add_argument("--n_cluster", type=int, default=3)
+    ap.add_argument("--cluster_k", type=int, default=None,
+                    help="generate domains from K ground-truth clusters")
+    ap.add_argument("--conflict", action="store_true",
+                    help="antipodal cluster label functions (negative-"
+                         "transfer regime) in the shared data")
     ap.add_argument("--n_causal_mask", type=int, default=8)
     ap.add_argument("--cdc_warmup", type=int, default=25,
                     help="warmup_step in the reference's 1024-row units")
@@ -440,7 +451,8 @@ def main():
     csv = f"{WORK}/dataset/amazon/prepare2train_filter_12month.csv"
     if not (args.reuse_data and os.path.exists(csv)):
         csv = gen_data(args.rows, args.domains, args.user_vocab,
-                       args.item_vocab)
+                       args.item_vocab, cluster_k=args.cluster_k,
+                       conflict=args.conflict)
     seeds = ([int(s) for s in args.seeds.split(",")] if args.seeds
              else [args.seed])
     for m in args.models.split(","):

@@ -243,6 +243,13 @@ def update_group(
         w = cfg.old_matrix_weight
         st.matrix_A = st.old_matrix_A * w + st.matrix_A * (1 - w)
         st.matrix_B = st.old_matrix_B * w + st.matrix_B * (1 - w)
+    # cdc-plus: EMA the raw mask matrix across updates.  The reference
+    # EMAs A/B (old_matrix_weight) but rebuilds mask from single-probe
+    # measurements every update (cdc.py:131-134), so the clustering input
+    # carries full per-update probe noise; mask_ema=0 keeps that behavior.
+    if cfg.mask_ema > 0 and st.old_matrix_mask is not None:
+        w = cfg.mask_ema
+        st.matrix_mask = st.old_matrix_mask * w + st.matrix_mask * (1 - w)
     st.old_matrix_A = st.matrix_A.copy()
     st.old_matrix_B = st.matrix_B.copy()
     st.old_matrix_mask = st.matrix_mask.copy()

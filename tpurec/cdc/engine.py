@@ -688,11 +688,26 @@ class CDCTrainer:
         return max(1, -(-(self.n_domain * max(k, 1)) // chunk))
 
     # ------------------------------------------------------------------
+    @property
+    def _ebs(self) -> int:
+        """Probe-eval width per domain: bs * cdc.probe_eval_batches
+        (reference = one bs batch; widening cuts probe eval noise)."""
+        return self.cfg.train.bs * max(1, self.cfg.cdc.probe_eval_batches)
+
     def _eval_sched(self):
-        """One train-stream batch per domain: (idx [D, bs], mask [D, bs])."""
-        bs = self.cfg.train.bs
-        pairs = [self._next_idx_padded(d, bs) for d in range(self.n_domain)]
-        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
+        """Probe-eval schedule: (idx [D, ebs], mask [D, ebs]) — one
+        train-stream batch per domain at reference defaults,
+        probe_eval_batches consecutive batches concatenated otherwise."""
+        bs, ebs = self.cfg.train.bs, self._ebs
+        D = self.n_domain
+        idx = np.zeros((D, ebs), np.int32)
+        mask = np.zeros((D, ebs), np.float32)
+        for d in range(D):
+            flat = np.concatenate(
+                [self.train_batcher.next_idx(d) for _ in range(ebs // bs)])
+            idx[d, : len(flat)] = flat
+            mask[d, : len(flat)] = 1.0
+        return idx, mask
 
     def _multi_burst_sched(self, domains, k: int, K_max: int):
         """Index schedule of a multi-domain treatment burst: list repeated k
@@ -715,18 +730,18 @@ class CDCTrainer:
 
     def _data_avals(self, R: int, K: int, W: int):
         """(Xsrc, ysrc) avals of one populate call: the resident dataset,
-        or the stream window [R*K*W + R*D*bs, F]."""
+        or the stream window [R*K*W + R*D*ebs, F]."""
         sds = jax.ShapeDtypeStruct
         if self._resident:
             return (sds(self.Xdev.shape, self.Xdev.dtype),
                     sds(self.ydev.shape, self.ydev.dtype))
-        T = R * K * W + R * self.n_domain * self.cfg.train.bs
+        T = R * K * W + R * self.n_domain * self._ebs
         return (sds((T, self.Xhost.shape[1]), jnp.int32),
                 sds((T,), jnp.float32))
 
     def _populate_avals(self, R: int, K: int, W: int):
         """Abstract arg signature of one _populate_rows shape."""
-        D, bs = self.n_domain, self.cfg.train.bs
+        D, bs = self.n_domain, self._ebs
         sds = jax.ShapeDtypeStruct
         aval = lambda a: sds(a.shape, a.dtype)  # noqa: E731
         rngs_aval = jax.eval_shape(
@@ -782,7 +797,7 @@ class CDCTrainer:
         else:
             def build(shape, state_copy):
                 R, K, W = shape
-                D, bs = self.n_domain, self.cfg.train.bs
+                D, bs = self.n_domain, self._ebs
                 davals = self._data_avals(R, K, W)
                 # args must carry the REAL call's shardings or the shadow
                 # compiles a different executable: dataset/window arrays
@@ -912,11 +927,12 @@ class CDCTrainer:
         # ---- treatment (causal-mask) rows (run.py:563-569)
         R = cfg.n_causal_mask
         W = cfg.group_chunk_size * bs
+        ebs = self._ebs
         bidx = np.zeros((R, K_max, W), np.int32)
         bmask = np.zeros((R, K_max, W), np.float32)
         bvalid = np.zeros((R, K_max), np.float32)
-        eidx = np.zeros((R, D, bs), np.int32)
-        emask = np.zeros((R, D, bs), np.float32)
+        eidx = np.zeros((R, D, ebs), np.int32)
+        emask = np.zeros((R, D, ebs), np.float32)
         for r in range(R):
             size = int(self.np_rng.integers(5, max(D, 6)))
             treat = self.np_rng.choice(D, p=self.domain_cnt_weight, size=size)
@@ -945,8 +961,8 @@ class CDCTrainer:
         bidx = np.zeros((D, k, bs), np.int32)
         bmask = np.zeros((D, k, bs), np.float32)
         bvalid = np.ones((D, k), np.float32)
-        eidx = np.zeros((D, D, bs), np.int32)
-        emask = np.zeros((D, D, bs), np.float32)
+        eidx = np.zeros((D, D, ebs), np.int32)
+        emask = np.zeros((D, D, ebs), np.float32)
         for d in range(D):
             for s in range(k):
                 bidx[d, s], bmask[d, s] = self._next_idx_padded(d, bs)
@@ -964,8 +980,8 @@ class CDCTrainer:
         bidx = np.zeros((R_B, K_max, W), np.int32)
         bmask = np.zeros((R_B, K_max, W), np.float32)
         bvalid = np.zeros((R_B, K_max), np.float32)
-        eidx = np.zeros((R_B, D, bs), np.int32)
-        emask = np.zeros((R_B, D, bs), np.float32)
+        eidx = np.zeros((R_B, D, ebs), np.int32)
+        emask = np.zeros((R_B, D, ebs), np.float32)
         for r in range(R_B):
             if r >= D:
                 c = r - D
@@ -1090,15 +1106,28 @@ class CDCTrainer:
         # reference semantics (run.py:630-645): before training step i, run
         # the matrix update iff (epoch 0 and i==0) or (i+1) % interval == 0.
         # Between boundaries, steps train as scanned dispatches.
+        # cdc-plus freeze_after_updates: once the clustering has been
+        # updated that many times, skip further updates entirely — the
+        # remaining budget trains the frozen grouping (0 = reference
+        # behavior, re-cluster at every boundary forever).
+        def frozen():
+            return (ccfg.freeze_after_updates > 0
+                    and self.cluster.call_update_group
+                    >= ccfg.freeze_after_updates)
+
         i = 0
         while i < len(seq):
-            if (epoch_i == 0 and i == 0) or ((i + 1) % interval == 0):
+            if (not frozen()) and (
+                    (epoch_i == 0 and i == 0) or ((i + 1) % interval == 0)):
                 run_update()
                 loss_sum += self._train_span(seq, i, i + 1)
                 n_steps += 1
                 i += 1
                 continue
-            next_boundary = (i // interval + 1) * interval - 1  # > i here
+            # frozen: no more boundaries will fire, run to epoch end (also
+            # avoids a zero-length span when i itself sits on a boundary)
+            next_boundary = (len(seq) if frozen()
+                             else (i // interval + 1) * interval - 1)  # > i
             seg_end = min(len(seq), next_boundary)
             loss_sum += self._train_span(seq, i, seg_end)
             n_steps += seg_end - i

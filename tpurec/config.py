@@ -146,6 +146,23 @@ class CDCConfig:
     #                (CDCTrainer.RESIDENT_BUDGET single-chip,
     #                MESH_RESIDENT_BUDGET per chip on a mesh), else stream
     data_placement: str = "auto"
+    # ---- cdc-plus extensions (defaults = exact reference behavior).
+    # The reference's counterfactual probe evaluates each domain's loss
+    # response on ONE bs-sized batch after update_matrix_step (=2) train
+    # steps; at small per-domain data that single-batch eval noise
+    # dominates the probe signal and the recovered clustering is ~random
+    # (measured: ARI 0.01-0.3 on ground-truth-clustered synthetic data,
+    # docs/RESULTS.md "conflict ablation").  Three opt-in levers:
+    # probe evals average over this many batches per domain (noise /sqrt E)
+    probe_eval_batches: int = 1
+    # EMA weight for matrix_mask across updates (the reference EMAs A/B
+    # via old_matrix_weight but rebuilds mask from scratch every update,
+    # cdc.py:131-134); 0 = reference behavior
+    mask_ema: float = 0.0
+    # stop re-clustering (and stop paying probe/rollback bursts) after
+    # this many matrix updates — kills assignment churn once the
+    # clustering has converged; 0 = never freeze (reference behavior)
+    freeze_after_updates: int = 0
 
 
 @dataclass(frozen=True)
