@@ -20,6 +20,8 @@ def test_build_config_roundtrip():
     args = parse_args([
         "--model", "cdc", "--base_model", "ple", "--n_cluster", "3",
         "--affinity_func", "divide", "--lr", "0.01",
+        "--probe_eval_batches", "4", "--mask_ema", "0.5",
+        "--freeze_after_updates", "2",
     ])
     cfg = build_config(args)
     assert cfg.model.model == "cdc"
@@ -27,6 +29,16 @@ def test_build_config_roundtrip():
     assert cfg.cdc.n_cluster == 3
     assert cfg.cdc.affinity_func == "divide"
     assert cfg.train.lr == 0.01
+    assert cfg.cdc.probe_eval_batches == 4
+    assert cfg.cdc.mask_ema == 0.5
+    assert cfg.cdc.freeze_after_updates == 2
+
+
+def test_cdc_plus_flags_default_to_reference_behavior():
+    cfg = build_config(parse_args(["--model", "cdc"]))
+    assert cfg.cdc.probe_eval_batches == 1
+    assert cfg.cdc.mask_ema == 0.0
+    assert cfg.cdc.freeze_after_updates == 0
 
 
 @pytest.mark.slow

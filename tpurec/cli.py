@@ -67,6 +67,17 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--affinity_func", default="minus")
     p.add_argument("--old_matrix_weight", type=float, default=0.0)
     p.add_argument("--use_metric", default="loss", choices=["loss", "auc"])
+    # cdc-plus extensions (defaults = reference-exact procedure; see
+    # docs/MIGRATION.md + docs/RESULTS.md "Conflict ablation")
+    p.add_argument("--probe_eval_batches", type=int, default=1,
+                   help="average counterfactual probe evals over this "
+                        "many batches per domain (1 = reference)")
+    p.add_argument("--mask_ema", type=float, default=0.0,
+                   help="EMA weight for the mask matrix across updates "
+                        "(0 = reference: rebuilt from single probes)")
+    p.add_argument("--freeze_after_updates", type=int, default=0,
+                   help="stop re-clustering after N matrix updates "
+                        "(0 = reference: re-cluster at every boundary)")
     # target re-assignment mode (cdc.py:121 update_group(mode=...))
     p.add_argument("--cluster_mode", default="iterative",
                    choices=["iterative", "greedy"])
@@ -128,6 +139,9 @@ def build_config(args: argparse.Namespace) -> Config:
             use_metric=args.use_metric,
             cluster_mode=args.cluster_mode,
             data_placement=args.data_placement,
+            probe_eval_batches=args.probe_eval_batches,
+            mask_ema=args.mask_ema,
+            freeze_after_updates=args.freeze_after_updates,
         ),
         train=TrainConfig(
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,
