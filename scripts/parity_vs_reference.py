@@ -119,6 +119,7 @@ def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None,
     if data.domain_cluster is not None:
         print(f"GROUND-TRUTH clusters: {data.domain_cluster.tolist()}",
               flush=True)
+        np.save(f"{WORK}/ground_truth_clusters.npy", data.domain_cluster)
     cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
             "sales_rank", "brand", "price"]
     ts = np.zeros(len(data.y), np.int64)
@@ -328,7 +329,8 @@ def run_ours(model: str, epochs: int, csv: str, strategy: str = "mix", seed: int
     return out
 
 
-def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict):
+def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict,
+                 label: str = "cdc"):
     """Full CDC procedure (warmup -> cadence matrix updates -> re-clustered
     split training -> mean-AUC early stop -> best reload) on the shared
     amazon-format CSV — the tpurec side of the head-to-head against the
@@ -362,13 +364,21 @@ def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict):
     tr = CDCTrainer(cfg, field_dims, n_domain, 3)
     out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
                  test=(X[te_m], y[te_m]))
-    print(f"OURS cdc (seed {seed}): "
+    print(f"OURS {label} (seed {seed}): "
           f"valid_auc={out['valid']['total_auc']:.4f} "
           f"valid_mean_auc={out['valid']['mean_auc']:.4f} "
           f"test_auc={out['test']['total_auc']:.4f} "
           f"test_mean_auc={out['test']['mean_auc']:.4f}", flush=True)
-    print(f"OURS cdc (seed {seed}): domain2group_list: "
+    print(f"OURS {label} (seed {seed}): domain2group_list: "
           f"{out['domain2group_list']}", flush=True)
+    gt_path = f"{WORK}/ground_truth_clusters.npy"
+    if os.path.exists(gt_path):
+        from sklearn.metrics import adjusted_rand_score
+
+        gt = np.load(gt_path)
+        d2g = np.asarray(out["domain2group_list"])
+        print(f"OURS {label} (seed {seed}): ARI vs ground truth = "
+              f"{adjusted_rand_score(gt, d2g):.3f}", flush=True)
     return out
 
 
@@ -412,6 +422,12 @@ def main():
     ap.add_argument("--cdc_interval", type=int, default=20,
                     help="update_interval in 1024-row units")
     ap.add_argument("--cdc_matrix_step", type=int, default=2)
+    ap.add_argument("--cdc_plus", action="store_true",
+                    help="enable the tpurec cdc-plus knobs on OUR side "
+                         "only (probe_eval_batches=8, mask_ema=0.5, "
+                         "freeze_after_updates=3); the reference side "
+                         "still runs its own train_cdc — this races the "
+                         "extended procedure against the original")
     args = ap.parse_args()
 
     import jax
@@ -462,6 +478,11 @@ def main():
                           warmup_step=args.cdc_warmup,
                           update_matrix_step=args.cdc_matrix_step,
                           update_interval=args.cdc_interval)
+            ours_label = "cdc"
+            if args.cdc_plus:
+                cdc_kw.update(probe_eval_batches=8, mask_ema=0.5,
+                              freeze_after_updates=3)
+                ours_label = "cdc-plus"
             ref_flags = ["--base_model", "mmoe",
                          "--n_cluster", args.n_cluster,
                          "--n_causal_mask", args.n_causal_mask,
@@ -476,7 +497,8 @@ def main():
                     except Exception as e:
                         print(f"REFERENCE cdc errored: {e}")
                 if not args.skip_ours:
-                    run_ours_cdc(args.epochs, csv, s, cdc_kw)
+                    run_ours_cdc(args.epochs, csv, s, cdc_kw,
+                                 label=ours_label)
             continue
         # reference epnet/hinet squeeze their n_tower=1 output and crash
         # under mix (run.py:484); their working config is group split
