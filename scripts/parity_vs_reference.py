@@ -116,10 +116,13 @@ def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None,
                           field_dims=field_dims,
                           domain_cluster_k=cluster_k,
                           domain_cluster_conflict=conflict)
+    gt_path = f"{WORK}/ground_truth_clusters.npy"
     if data.domain_cluster is not None:
         print(f"GROUND-TRUTH clusters: {data.domain_cluster.tolist()}",
               flush=True)
-        np.save(f"{WORK}/ground_truth_clusters.npy", data.domain_cluster)
+        np.save(gt_path, data.domain_cluster)
+    elif os.path.exists(gt_path):
+        os.remove(gt_path)  # stale ground truth from a prior clustered run
     cols = ["userid", "itemid", "weekday", "domain", "sales_chart",
             "sales_rank", "brand", "price"]
     ts = np.zeros(len(data.y), np.int64)
