@@ -94,6 +94,34 @@ if os.environ.get("REF_ADL_FREEZE_EVAL_CENTERS"):
                 "from tpurec.data.preprocess import reduce_mem  # noqa\n")
 
 
+def _gt_path(n_domain: int, cluster_k: int) -> str:
+    """Settings-keyed ground-truth cluster file, stored with the dataset."""
+    return f"{WORK}/dataset/amazon/gt_clusters_d{n_domain}_k{cluster_k}.npy"
+
+
+def _load_gt(n_expected: int):
+    """The unique gt file matching this run's domain count, or None.
+    Shape-guarded so a stale file from a different --domains run warns and
+    skips ARI instead of raising after training completes (ADVICE round-4)."""
+    import glob
+
+    import numpy as np
+
+    hits = sorted(glob.glob(
+        f"{WORK}/dataset/amazon/gt_clusters_d{n_expected}_k*.npy"))
+    if len(hits) != 1:
+        if len(hits) > 1:
+            print(f"WARNING: {len(hits)} gt files for d={n_expected}; "
+                  "skipping ARI", flush=True)
+        return None
+    gt = np.load(hits[0])
+    if len(gt) != n_expected:
+        print(f"WARNING: gt file {hits[0]} has {len(gt)} domains, run has "
+              f"{n_expected}; skipping ARI", flush=True)
+        return None
+    return gt
+
+
 def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None,
              cluster_k=None, conflict=False):
     """Shared amazon-format CSV.  Defaults = the round-1 30k/6-domain set;
@@ -116,10 +144,16 @@ def gen_data(n_rows=30000, n_domain=6, user_vocab=None, item_vocab=None,
                           field_dims=field_dims,
                           domain_cluster_k=cluster_k,
                           domain_cluster_conflict=conflict)
-    gt_path = f"{WORK}/ground_truth_clusters.npy"
+    # ground truth lives NEXT TO the dataset it describes, keyed by the
+    # generation settings (ADVICE round-4: a fixed shared path let a
+    # concurrent non-clustered gen_data clobber the gt a clustered run was
+    # reading).  Non-clustered runs write nothing and delete only their own
+    # settings' file; readers glob by n_domain and shape-guard.
+    gt_path = _gt_path(n_domain, cluster_k or 0)
     if data.domain_cluster is not None:
         print(f"GROUND-TRUTH clusters: {data.domain_cluster.tolist()}",
               flush=True)
+        os.makedirs(os.path.dirname(gt_path), exist_ok=True)
         np.save(gt_path, data.domain_cluster)
     elif os.path.exists(gt_path):
         os.remove(gt_path)  # stale ground truth from a prior clustered run
@@ -374,11 +408,14 @@ def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict,
           f"test_mean_auc={out['test']['mean_auc']:.4f}", flush=True)
     print(f"OURS {label} (seed {seed}): domain2group_list: "
           f"{out['domain2group_list']}", flush=True)
-    gt_path = f"{WORK}/ground_truth_clusters.npy"
-    if os.path.exists(gt_path):
+    # NOTE: fit() restores the BEST-epoch clustering alongside the best
+    # weights (engine.py fit: best_cluster captured on stopper.improved and
+    # re-installed before building `out`), so this ARI is scored on the
+    # partition that produced the reported AUCs.
+    gt = _load_gt(len(out["domain2group_list"]))
+    if gt is not None:
         from sklearn.metrics import adjusted_rand_score
 
-        gt = np.load(gt_path)
         d2g = np.asarray(out["domain2group_list"])
         print(f"OURS {label} (seed {seed}): ARI vs ground truth = "
               f"{adjusted_rand_score(gt, d2g):.3f}", flush=True)
