@@ -45,10 +45,11 @@ N_TOWER = 4
 BS = 512
 # steps per scanned dispatch = TrainConfig.steps_per_dispatch's default
 # (overridable for dispatch-amortization experiments, which must not
-# change the metric: examples/sec at the reference bs=512; round-4
-# sweep: 244.7k/263.6k/274.4k/278.3k at K=16/32/64/128 — 64 amortizes
-# the per-dispatch submission latency with diminishing returns beyond)
-K = int(os.environ.get("TPUREC_BENCH_K", 64))
+# change the metric: examples/sec at the reference bs=512; round-5
+# sweep: 275.4k/278.9k/280.9k/282.3k/282.9k at K=64/128/256/512/1024 —
+# the curve knees at ~512, and the loss fetch is off the epoch critical
+# path, so the library default moved to 512)
+K = int(os.environ.get("TPUREC_BENCH_K", 512))
 WARMUP, MEASURE = 2, 8
 
 

@@ -163,6 +163,24 @@ class CDCConfig:
     # this many matrix updates — kills assignment churn once the
     # clustering has converged; 0 = never freeze (reference behavior)
     freeze_after_updates: int = 0
+    # matrix-population row parallelism: 0 (reference-faithful) runs the
+    # counterfactual rows serially with Adam moments CARRIED across rows
+    # (the reference's snapshot asymmetry, cdc.py:343-351 — itself an
+    # accident: save/load_model_state snapshots only the base model, never
+    # the optimizer).  N>0 runs rows in lane-stacked chunks of N, each row
+    # bursting independently from the update-entry snapshot with its OWN
+    # moment copy (DOCUMENTED DIVERGENCE: per-row moments instead of
+    # cross-row carry; row results become order-independent).
+    # STATUS (round-5, measured): EXPERIMENTAL, serial default stays
+    # faster at reference Ali-CCP scale — each lane needs its own
+    # full-table Adam decay sweep per step (exact dense-Adam semantics),
+    # so the dominant HBM term scales with N instead of amortizing, and
+    # stacked lanes cannot lax.cond-skip padded burst steps.  Best
+    # measured 4-lane chunk = 1.55x serial wall per row at 50 domains /
+    # 1.6M rows x 16 after flat-carry + scatter-add layout fixes
+    # (docs/RESULTS.md round-5; scripts/profile_populate_modes.py).
+    # HBM cost is N concurrent copies of params+moments.
+    parallel_rows: int = 0
 
 
 @dataclass(frozen=True)
@@ -195,11 +213,13 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # train steps fused into one scanned device dispatch (amortizes the
     # ~0.4ms per-dispatch latency that dominates sub-ms CTR steps); 1
-    # disables scanning.  64 measured +12% over 16 on the host-fed path
-    # (bench.py K-sweep, round 4: 244.7k/263.6k/274.4k/278.3k ex/s at
-    # K=16/32/64/128); the device-resident epoch path batches into long
-    # scans independently of this setting.
-    steps_per_dispatch: int = 64
+    # disables scanning.  Round-5 sweep on the real chip:
+    # 275.4k/278.9k/280.9k/282.3k/282.9k ex/s at K=64/128/256/512/1024 —
+    # the curve knees at ~512 and the loss fetch is off the critical path
+    # (losses sum on device per span; logging fires every K steps, close
+    # to the 400-step log_interval default).  The device-resident epoch
+    # path batches into long scans independently of this setting.
+    steps_per_dispatch: int = 512
     # 'hybrid' (default): exact dense-Adam semantics via the small/big
     #   field split (tpurec.train.hybrid) — small-vocab fields' grads
     #   reduce to per-slice matmuls, big-field rows get two-phase exact
