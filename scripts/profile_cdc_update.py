@@ -1,12 +1,21 @@
 """Time a full CDC matrix update (reference run.py:528-594 scale:
-50 domains, 50 causal masks, k=update_matrix_step=4) on the real chip."""
+50 domains, 50 causal masks, k=update_matrix_step=4) on the real chip.
 
+--parallel_rows N times the vmapped per-row-moments populate
+(CDCConfig.parallel_rows) against the serial default."""
+
+import argparse
 import time
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parallel_rows", type=int, default=0)
+    ap.add_argument("--placement", default="auto")
+    args = ap.parse_args()
+
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -27,7 +36,9 @@ def main():
                           atten_embed_dim=64, att_layer_num=3),
         train=TrainConfig(bs=512, seed=0),
         cdc=CDCConfig(base_model="mmoe", n_cluster=4, n_causal_mask=50,
-                      update_matrix_step=4),
+                      update_matrix_step=4,
+                      parallel_rows=args.parallel_rows,
+                      data_placement=args.placement),
     )
     tr = CDCTrainer(cfg, data.field_dims, n_domain, data.domain_idx)
     tr.setup_data(data.train, data.valid)

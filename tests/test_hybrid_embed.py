@@ -195,3 +195,55 @@ def test_mixed_table_lookup_bit_identical_to_take():
         r = jnp.take(t, jnp.asarray(xx) + jnp.asarray(lay.offsets)[None, :], axis=0)
     # (value check inside loop)
         assert bool(jnp.all(mixed_table_lookup(t, jnp.asarray(xx), lay) == r))
+
+
+@pytest.mark.parametrize("B", [16, 300])  # small-N (eq-matmul) & sort paths
+def test_update_stacked_matches_per_lane_update(B):
+    """EmbeddingUpdater.update_stacked (lane-FLAT [N*V, D] operands) == N
+    independent update() calls.  B=300 with 8 big-field columns crosses
+    the 2048-id sort path; B=16 stays on the equality-matmul duplicate
+    path."""
+    from tpurec.train.hybrid import EmbeddingUpdater
+
+    field_dims = (50000, 10, 7, 9000, 12, 300, 70000, 40000,
+                  30000, 25000, 21000, 22000, 23000)
+    tcfg = TrainConfig(bs=B)
+    upd = EmbeddingUpdater(field_dims, tcfg, l2_reg_embedding=1e-5,
+                           big_vocab_threshold=500)
+    rng = np.random.default_rng(0)
+    N = 3
+    V, D = upd.vocab, 8
+    tables = jnp.asarray(rng.normal(size=(N, V, D)).astype(np.float32))
+    ms = jnp.asarray(rng.normal(size=(N, V, D)).astype(np.float32) * 0.01)
+    vs = jnp.asarray(np.abs(rng.normal(size=(N, V, D))).astype(np.float32) * 0.01)
+    xs = np.stack([rng.integers(0, d, (N, B)) for d in field_dims],
+                  axis=2).astype(np.int32)
+    # duplicate ids inside each lane exercise the combining paths
+    xs[:, : B // 2, 0] = xs[:, B // 2: 2 * (B // 2), 0]
+    xs = jnp.asarray(xs)
+    g = jnp.asarray(rng.normal(
+        size=(N, B * len(field_dims), D)).astype(np.float32))
+    steps = jnp.asarray([3, 7, 11], jnp.int32)
+
+    from tpurec.train.sparse import SparseEmbedState
+
+    flat = lambda a: a.reshape(N * V, D)  # noqa: E731
+    p_s, st_s, sq_s = jax.jit(
+        lambda *a: upd.update_stacked(*a, lanes=N))(
+        flat(tables), SparseEmbedState(m=flat(ms), v=flat(vs)), xs, g, steps)
+    p_s = p_s.reshape(N, V, D)
+    m_s = st_s.m.reshape(N, V, D)
+    v_s = st_s.v.reshape(N, V, D)
+
+    one = jax.jit(upd.update)
+    for l in range(N):
+        p_l, st_l, sq_l = one(
+            tables[l], SparseEmbedState(m=ms[l], v=vs[l]), xs[l], g[l],
+            steps[l])
+        np.testing.assert_allclose(np.asarray(p_s[l]), np.asarray(p_l),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(m_s[l]), np.asarray(st_l.m),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_s[l]), np.asarray(st_l.v),
+                                   rtol=0, atol=1e-6)
+        assert float(sq_s[l]) == pytest.approx(float(sq_l), rel=1e-6)

@@ -358,6 +358,128 @@ class CDCTrainer:
 
         self._populate_rows = jax.jit(populate_rows, donate_argnums=(0,))
 
+        def shard_rows_lanes(a):
+            """Lane-stacked [N, rows, ...] batch arrays: shard the ROW axis
+            (axis 1) over data, lanes replicated."""
+            if mesh is None:
+                return a
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = P(None, "data", *([None] * (a.ndim - 2)))
+            return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+        lane_offsets = jnp.asarray(self.emb_upd.offsets, jnp.int32)
+        vocab = int(self.emb_upd.vocab)
+
+        def one_step_stacked(mode, ts_b, Xdev, ydev, idx_b, mask_b, rng_b,
+                             domain2group):
+            """one_step over N stacked lanes.  The dense-net params /
+            optax state / BatchNorm buffers carry a leading [N] axis (tiny
+            tensors — vmap is free); the embedding table and its moments
+            carry LANE-FLAT [N*V, D] (lane l = rows [l*V, (l+1)*V)): a
+            stacked [N, V, D] scan carry gets a transposed XLA layout and
+            every row-indexed use then pays per-step transpose loops
+            (profile_populate_trace.py, round-5 notes).  Lookups use
+            lane-offset absolute row ids (plain gather — bit-identical to
+            mixed_table_lookup's value contract); the update goes through
+            EmbeddingUpdater.update_stacked's flat path."""
+            N = idx_b.shape[0]
+            x = shard_rows_lanes(jnp.take(Xdev, idx_b, axis=0))   # [N, W, F]
+            y = shard_rows_lanes(jnp.take(ydev, idx_b, axis=0))   # [N, W]
+            mask_b = shard_rows_lanes(mask_b)
+            table_f = ts_b.params["embedding"]["table"]           # [N*V, D]
+            rest_b = {k: v for k, v in ts_b.params.items() if k != "embedding"}
+            opt_rest_b, emb_opt_b = ts_b.opt_state
+            lane = (jnp.arange(N, dtype=jnp.int32) * vocab)[:, None, None]
+            abs_ids = x + lane_offsets[None, None, :] + lane      # [N, W, F]
+            rows_b = jnp.take(
+                table_f, abs_ids.reshape(N, -1), axis=0)          # [N, W*F, D]
+            grad_fn = jax.value_and_grad(forward_train, argnums=(0, 1),
+                                         has_aux=True)
+            (loss, new_state), (g_rest, g_rows) = jax.vmap(
+                lambda rest, rows, mstate, xx, yy, mm, rr: grad_fn(
+                    rest, rows, mstate, xx, yy, mm, rr, mode, domain2group)
+            )(rest_b, rows_b, ts_b.model_state, x, y, mask_b, rng_b)
+            updates, new_opt_rest = jax.vmap(tx.update)(
+                g_rest, opt_rest_b, rest_b)
+            new_rest = jax.vmap(optax.apply_updates)(rest_b, updates)
+            p2, emb_opt2, _ = upd.update_stacked(
+                table_f, emb_opt_b, x, g_rows, ts_b.step + 1, lanes=N)
+            return ts_b.replace(
+                params={**new_rest, "embedding": {"table": p2}},
+                opt_state=(new_opt_rest, emb_opt2),
+                model_state=new_state, step=ts_b.step + 1,
+            ), loss
+
+        def populate_rows_parallel(ts, Xdev, ydev, bidx, bmask, bvalid, rngs,
+                                   eidx, emask, domain2group):
+            """Opt-in lane-parallel populate (CDCConfig.parallel_rows): all
+            N rows of the chunk burst INDEPENDENTLY from the chunk-entry
+            snapshot as stacked lanes, so the per-row sub-ms matmuls batch
+            into N-wide MXU ops and the serial row scan (>50% of CDC wall
+            at 50 domains, docs/RESULTS.md round-3) collapses into
+            ceil(R/N) dispatches.
+
+            DOCUMENTED DIVERGENCE from the reference (cdc.py:343-351): each
+            row uses its OWN copy of the update-entry Adam moments instead
+            of the cross-row moment carry (which is itself an accident —
+            save/load_model_state snapshots only the base model, never the
+            optimizer).  Row results become order-independent; the trainer
+            state is returned to the caller UNCHANGED (no moment advance
+            during the matrix update).  Row 0 of the first chunk sees the
+            same RNG schedule and entry moments as serial row 0, so it
+            matches up to batched-matmul reduction order (~1e-5) — tested.
+            Lane-gating note: stacked lanes can't lax.cond-skip padded
+            steps (the predicate is per-lane), so invalid steps compute
+            and are discarded via where-select — schedules should pack
+            rows of similar burst length per chunk where possible."""
+            N, K = bvalid.shape
+
+            def stack(a):
+                b = jnp.broadcast_to(a[None], (N,) + jnp.shape(a))
+                # table + moments go LANE-FLAT (layout note above)
+                if jnp.ndim(a) == 2 and a.shape[0] == vocab:
+                    return b.reshape(N * vocab, a.shape[1])
+                return b
+
+            ts_b = jax.tree_util.tree_map(stack, ts)
+            step_rngs = jax.vmap(lambda r: jax.vmap(
+                lambda i: jax.random.fold_in(r, i))(jnp.arange(K)))(rngs)
+
+            def body(ts_b, xs):
+                idx_b, mask_b, valid_b, rng_b = xs
+                new_ts_b, _ = one_step_stacked(
+                    "split", ts_b, Xdev, ydev, idx_b, mask_b, rng_b,
+                    domain2group)
+
+                def sel(nl, ol):
+                    if nl.ndim >= 1 and nl.shape[0] == N * vocab:
+                        v = jnp.repeat(valid_b, vocab).reshape(
+                            (N * vocab,) + (1,) * (nl.ndim - 1))
+                    else:
+                        v = valid_b.reshape((N,) + (1,) * (nl.ndim - 1))
+                    return jnp.where(v > 0, nl, ol)
+
+                return jax.tree_util.tree_map(sel, new_ts_b, ts_b), None
+
+            ts_b, _ = jax.lax.scan(
+                body, ts_b,
+                (bidx.swapaxes(0, 1), bmask.swapaxes(0, 1),
+                 bvalid.swapaxes(0, 1), jnp.swapaxes(step_rngs, 0, 1)))
+            # one unflatten at chunk end for the eval forwards (the per-step
+            # scan carry never leaves the flat layout)
+            params_eval = dict(ts_b.params)
+            params_eval["embedding"] = {
+                "table": ts_b.params["embedding"]["table"].reshape(
+                    N, vocab, -1)}
+            rows = jax.vmap(
+                lambda p, ms, ei, em: eval_row_from(
+                    p, ms, Xdev, ydev, ei, em, domain2group)
+            )(params_eval, ts_b.model_state, eidx, emask)
+            return replicated(rows)
+
+        self._populate_rows_par = jax.jit(populate_rows_parallel)
+
         @jax.jit
         def eval_all_domains(params, model_state, Xdev, ydev, idx, masks, domain2group):
             """One [n_domain*bs] forward; per-domain BCE on probabilities
@@ -756,10 +878,17 @@ class CDCTrainer:
         )
 
     def _populate_shapes(self, update_matrix_step: int):
+        """Dispatch shapes one matrix update exercises.  Serial mode: one
+        shape per block (all R rows in one scan).  parallel_rows=N mode:
+        every block chunks into N-lane vmapped dispatches, so the shapes
+        are (N, K, W) keyed with a 'par' tag (distinct executable)."""
         k = update_matrix_step
         bs, D = self.cfg.train.bs, self.n_domain
         K_max = self._burst_k_max(k)
         W = self.cfg.cdc.group_chunk_size * bs
+        N = self.cfg.cdc.parallel_rows
+        if N > 0:
+            return {("par", N, K_max, W), ("par", N, k, bs)}
         return {
             (self.cfg.cdc.n_causal_mask, K_max, W),
             (D, k, bs),
@@ -788,15 +917,22 @@ class CDCTrainer:
         if not shapes:
             return
 
+        def split_shape(shape):
+            """('par', N, K, W) -> (par_fn, (N, K, W)); (R, K, W) -> serial."""
+            if shape[0] == "par":
+                return self._populate_rows_par, shape[1:]
+            return self._populate_rows, shape
+
         if self.mesh is None:
             def build(shape, _state_copy=None):
-                return shape, self._populate_rows.lower(
-                    *self._populate_avals(*shape)).compile()
+                fn, dims = split_shape(shape)
+                return shape, fn.lower(
+                    *self._populate_avals(*dims)).compile()
 
             state_copies = {s: None for s in shapes}
         else:
             def build(shape, state_copy):
-                R, K, W = shape
+                fn, (R, K, W) = split_shape(shape)
                 D, bs = self.n_domain, self._ebs
                 davals = self._data_avals(R, K, W)
                 # args must carry the REAL call's shardings or the shadow
@@ -806,7 +942,7 @@ class CDCTrainer:
                     np.zeros(davals[0].shape, np.int32), replicate=True))
                 ysrc = (self.ydev if self._resident else self._dev(
                     np.zeros(davals[1].shape, np.float32), replicate=True))
-                _, rows = self._populate_rows(
+                out = fn(
                     state_copy, Xsrc, ysrc,
                     self._dev(np.zeros((R, K, W), np.int32)),
                     self._dev(np.zeros((R, K, W), np.float32)),
@@ -816,9 +952,10 @@ class CDCTrainer:
                     self._dev(np.zeros((R, D, bs), np.float32)),
                     self._dev(np.zeros((D,), np.int32)),
                 )
-                jax.block_until_ready(rows)
+                # serial returns (state, rows); parallel returns rows only
+                jax.block_until_ready(out[1] if isinstance(out, tuple) else out)
                 # executable lives in the jit cache; mark the shape warm
-                return shape, self._populate_rows
+                return shape, fn
 
             # Copy the state on the MAIN thread, one copy per shape (the
             # shadow call donates its state arg): the training loop's
@@ -888,6 +1025,8 @@ class CDCTrainer:
         overlaps the NEXT block's host work (schedule build; in stream
         placement the whole window gather + upload) with this block's
         device compute."""
+        if self.cfg.cdc.parallel_rows > 0:
+            return self._run_populate_parallel(bidx, bmask, bvalid, eidx, emask)
         R = bidx.shape[0]
         self.dropout_rng, rng = jax.random.split(self.dropout_rng)
         rngs = jax.random.split(rng, R)
@@ -901,6 +1040,43 @@ class CDCTrainer:
             eidx_d, self._dev(emask), self.domain2group_dev,
         )
         return rows
+
+    def _run_populate_parallel(self, bidx, bmask, bvalid, eidx, emask):
+        """Chunked vmapped populate (CDCConfig.parallel_rows=N): rows run in
+        ceil(R/N) dispatches of exactly N vmapped lanes (the last chunk
+        padded with all-gated lanes so every block shares ONE compiled
+        shape per (K, W)).  The state is NOT consumed — every chunk starts
+        from the same update-entry snapshot + moments.  Returns the
+        concatenated [R, D] rows, still on device (async)."""
+        N = self.cfg.cdc.parallel_rows
+        R = bidx.shape[0]
+        self._sync_populate_cache()
+        self._collect_warm()
+        chunks = []
+        for lo in range(0, R, N):
+            hi = min(lo + N, R)
+            pad = N - (hi - lo)
+
+            def padded(a):
+                if not pad:
+                    return a[lo:hi]
+                return np.concatenate(
+                    [a[lo:hi], np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+            bi, bm, bv = padded(bidx), padded(bmask), padded(bvalid)
+            ei, em = padded(eidx), padded(emask)
+            self.dropout_rng, rng = jax.random.split(self.dropout_rng)
+            rngs = jax.random.split(rng, N)
+            fn = self._populate_exec.get(("par",) + bi.shape,
+                                         self._populate_rows_par)
+            Xsrc, ysrc, bi_d, ei_d = self._feed(bi, ei)
+            rows = fn(
+                self.state, Xsrc, ysrc,
+                bi_d, self._dev(bm), self._dev(bv), self._dev(rngs),
+                ei_d, self._dev(em), self.domain2group_dev,
+            )
+            chunks.append(rows[: hi - lo])
+        return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, 0)
 
     def _run_populate(self, bidx, bmask, bvalid, eidx, emask):
         return np.asarray(

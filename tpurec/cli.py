@@ -78,6 +78,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--freeze_after_updates", type=int, default=0,
                    help="stop re-clustering after N matrix updates "
                         "(0 = reference: re-cluster at every boundary)")
+    p.add_argument("--parallel_rows", type=int, default=0,
+                   help="populate N counterfactual matrix rows per vmapped "
+                        "dispatch with per-row Adam-moment copies (0 = "
+                        "reference: serial rows, moments carried across)")
     # target re-assignment mode (cdc.py:121 update_group(mode=...))
     p.add_argument("--cluster_mode", default="iterative",
                    choices=["iterative", "greedy"])
@@ -142,6 +146,7 @@ def build_config(args: argparse.Namespace) -> Config:
             probe_eval_batches=args.probe_eval_batches,
             mask_ema=args.mask_ema,
             freeze_after_updates=args.freeze_after_updates,
+            parallel_rows=args.parallel_rows,
         ),
         train=TrainConfig(
             lr=args.lr, bs=args.bs, epoch=args.epoch, seed=args.seed,

@@ -104,9 +104,8 @@ class EmbeddingUpdater:
         return rows.reshape(-1, table.shape[1])
 
     def update(self, table, emb_opt: SparseEmbedState, x, g_rows, step):
-        layout, field_dims = self.layout, self.field_dims
-        tcfg, coef = self.tcfg, self.coef
-        b1, b2, eps, lr = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr
+        tcfg = self.tcfg
+        b1, b2 = tcfg.adam_b1, tcfg.adam_b2
         x = x.astype(jnp.int32)
         B, F = x.shape
         D = table.shape[1]
@@ -114,21 +113,50 @@ class EmbeddingUpdater:
         t = jnp.asarray(step, jnp.float32)
         bc1 = 1.0 - b1 ** t
         bc2 = 1.0 - b2 ** t
+        dt = self.moments_dtype
 
-        # ---- small-vocab fields' dense grads: one [v_f, B] x [B, D] matmul
-        # per field (the transpose of its one-hot lookup), concatenated into
-        # the compact [small_rows, D] prefix region (EmbeddingLayout orders
-        # small fields first).  Demoted fields contribute zero segments —
-        # their rows go through the big-field correction below.
-        n_keep = 0  # segments up to the last update-small field; the
-        for i, f in enumerate(layout.small_fields):  # zero tail costs nothing
+        p2, new_opt, sumsq = self._sweep_only(
+            table, emb_opt.m, emb_opt.v, x, g_rows, bc1, bc2)
+        m2, v2 = new_opt.m, new_opt.v
+
+        # ---- exact correction of the big-field touched rows
+        if self.big:
+            id_u, pb, mb, vb = self._row_correction_vals(
+                table, emb_opt, x, g_rows, bc1, bc2)
+            kw = self._scatter_kw(B * len(self.big))
+            p2 = p2.at[id_u].set(pb, **kw)
+            m2 = m2.at[id_u].set(mb.astype(dt), **kw)
+            v2 = v2.at[id_u].set(vb.astype(dt), **kw)
+
+        return p2, SparseEmbedState(m=m2, v=v2), sumsq
+
+    @staticmethod
+    def _scatter_kw(n_big: int):
+        """Scatter kwargs matching _row_correction_vals' id form: the
+        small-N equality-matmul path writes idempotent duplicates (no
+        hints usable); the sort path yields sorted-unique ids with
+        out-of-range sentinels."""
+        if n_big <= 2048:
+            return {}
+        return dict(mode="drop", unique_indices=True,
+                    indices_are_sorted=True)
+
+    def _small_field_grads(self, x, g_rows):
+        """[S, D] dense gradient of the small-field prefix region (or None
+        when the layout has no update-small fields).  x [B, F] int32,
+        g_rows [B, F, D]."""
+        layout, field_dims = self.layout, self.field_dims
+        D = g_rows.shape[-1]
+        n_keep = 0
+        for i, f in enumerate(layout.small_fields):
             if f in self.small_set:
                 n_keep = i + 1
         g_segs = []
         for f in layout.small_fields[:n_keep]:
             v_f = field_dims[f]
             if f in self.small_set:
-                oh = (x[:, f][:, None] == jnp.arange(v_f, dtype=jnp.int32)[None, :])
+                oh = (x[:, f][:, None]
+                      == jnp.arange(v_f, dtype=jnp.int32)[None, :])
                 g_segs.append(jax.lax.dot_general(
                     oh.astype(g_rows.dtype), g_rows[:, f, :],
                     (((0,), (0,)), ((), ())),
@@ -136,8 +164,24 @@ class EmbeddingUpdater:
                 ))  # [v_f, D]
             else:
                 g_segs.append(jnp.zeros((v_f, D), g_rows.dtype))
-        g_small = (jnp.concatenate(g_segs, axis=0) if g_segs
-                   else jnp.zeros((0, D), g_rows.dtype))
+        return jnp.concatenate(g_segs, axis=0) if g_segs else None
+
+    def _sweep_only(self, table, m, v, x, g_rows, bc1, bc2):
+        """Small-field grads + the roofline dense Adam sweep for ONE table
+        ([V, D] operands; x [B, F] int32, g_rows [B, F, D]) — everything in
+        :meth:`update` except the big-field row correction."""
+        tcfg, coef = self.tcfg, self.coef
+        b1, b2, eps, lr = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr
+        D = table.shape[1]
+
+        # ---- small-vocab fields' dense grads: one [v_f, B] x [B, D] matmul
+        # per field (the transpose of its one-hot lookup), concatenated into
+        # the compact [small_rows, D] prefix region (EmbeddingLayout orders
+        # small fields first).  Demoted fields contribute zero segments —
+        # their rows go through the big-field correction below.
+        g_small = self._small_field_grads(x, g_rows)
+        if g_small is None:
+            g_small = jnp.zeros((0, D), g_rows.dtype)
 
         # ---- dense sweep: exact Adam with u = coef*p + pad(g_small), ONE
         # elementwise fusion reading (p, m, v) and writing (p2, m2, v2) —
@@ -157,61 +201,158 @@ class EmbeddingUpdater:
                 g_small, jnp.asarray(0, g_small.dtype),
                 ((0, self.vocab - S, 0), (0, 0, 0)))
         dt = self.moments_dtype
+        m2f = b1 * m.astype(jnp.float32) + (1.0 - b1) * u
+        v2f = b2 * v.astype(jnp.float32) + (1.0 - b2) * (u * u)
+        p2 = table - lr * (m2f / bc1) / (jnp.sqrt(v2f / bc2) + eps)
+        return p2, SparseEmbedState(m=m2f.astype(dt), v=v2f.astype(dt)), sumsq
+
+    def _combine_big(self, x, g_rows):
+        """(id_u, g_u) of the big-field rows for ONE lane: duplicate ids
+        combined either by the small-N equality matmul (idempotent dup
+        writes) or the sorted-unique dedup (sentinel ids >= vocab)."""
+        D = g_rows.shape[-1]
+        big = self.big
+        big_ids = (x[:, big] + self.offsets[None, big]).reshape(-1)
+        g_big = g_rows[:, big, :].reshape(-1, D)
+        N = big_ids.shape[0]
+        if N <= 2048:
+            # sort-free duplicate combining: the [N, N] equality matmul
+            # hands every occurrence its id's TOTAL gradient, so the
+            # .set scatters below write identical values for duplicate
+            # ids — idempotent, hence exact without a bitonic sort.
+            # O(N^2) though: the materialized [N, N] f32 dot operand
+            # beats the sort only for small N (N=1024: +46us over sort;
+            # N=7168: 205MB operand, measured ~2x SLOWER per CDC burst)
+            eqf = (big_ids[:, None] == big_ids[None, :]).astype(g_big.dtype)
+            # non-finite guard: 0 * inf = nan would poison EVERY row of
+            # the matmul, not just the overflowed id's.  Combine the
+            # finite values, then mark every occurrence of an id that
+            # had ANY non-finite contribution as nan — identical across
+            # duplicates (keeping the .set writes idempotent) and
+            # matching the dense scatter-add's "that id's row is
+            # poisoned" semantics.
+            g_fin = jnp.where(jnp.isfinite(g_big), g_big, 0.0)
+            dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+                a, b, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            g_u = dot(eqf, g_fin)
+            bad = dot(eqf, jnp.any(~jnp.isfinite(g_big), axis=-1,
+                                   keepdims=True).astype(g_big.dtype))
+            g_u = jnp.where(bad > 0, jnp.nan, g_u)
+            id_u = big_ids
+        else:
+            # sentinel (out-of-range) ids from dedup padding are dropped by
+            # the scatter; ids are sorted+unique by construction
+            id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, self.vocab)
+        return id_u, g_u
+
+    def _row_correction_vals(self, table, emb_opt, x, g_rows, bc1, bc2):
+        """Big-field row-correction values for ONE table: the combined ids
+        plus their exact post-step (p, m, v) rows (scatter kwargs come from
+        :meth:`_scatter_kw`)."""
+        tcfg, coef = self.tcfg, self.coef
+        b1, b2, eps, lr = tcfg.adam_b1, tcfg.adam_b2, tcfg.adam_eps, tcfg.lr
+        id_u, g_u = self._combine_big(x, g_rows)
+        p_old = jnp.take(table, id_u, axis=0, mode="clip")
+        m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip").astype(jnp.float32)
+        v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip").astype(jnp.float32)
+        ub = g_u + coef * p_old
+        mb = b1 * m_old + (1.0 - b1) * ub
+        vb = b2 * v_old + (1.0 - b2) * (ub * ub)
+        pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
+        return id_u, pb, mb, vb
+
+    def update_stacked(self, table, emb_opt: SparseEmbedState, x, g_rows,
+                       step, *, lanes: int):
+        """``lanes`` independent lanes of :meth:`update` on LANE-FLAT
+        operands — table/moments [N*V, D] (lane l's table is rows
+        [l*V, (l+1)*V)), x [N, B, F], g_rows [N, B*F, D], step [N].
+        Returns the updated flat (table', SparseEmbedState', sumsq [N]).
+
+        Why flat and not a vmapped [N, V, D] stack: XLA picks a
+        TRANSPOSED layout for large [N, V, D] scan carries ([D, N, V]
+        tiling), and any reshape toward the row-indexed form then lowers
+        as a 64-slice transpose loop per tensor per step (~5.7ms x3 at
+        4 x 1.6M x 16) plus megabytes of async staging copies — measured
+        via scripts/profile_populate_trace.py, round-5 notes.  A flat
+        [N*V, D] carry keeps the serial table's {1,0} layout: the sweep is
+        elementwise, lookups/corrections use lane-offset absolute row ids,
+        and the big-field scatter is ONE flat sorted-per-lane scatter.
+        Math per lane is identical to :meth:`update` (tested)."""
+        N = lanes
+        NV, D = table.shape
+        V = NV // N
+        B = x.shape[1]
+        dt = self.moments_dtype
+        t = jnp.asarray(step, jnp.float32)  # [N]
+        bc1 = 1.0 - self.tcfg.adam_b1 ** t  # [N]
+        bc2 = 1.0 - self.tcfg.adam_b2 ** t
+        coef = self.coef
+        b1, b2 = self.tcfg.adam_b1, self.tcfg.adam_b2
+        eps, lr = self.tcfg.adam_eps, self.tcfg.lr
+
+        # per-lane small-field prefix grads -> [N, S, D], injected into the
+        # flat u via ONE sorted contiguous scatter-add (lane l's prefix is
+        # rows [l*V, l*V+S)).  NOT the serial path's lax.pad trick: a 3-D
+        # pad + reshape-to-flat pins a row-major layout on the [N*V, D]
+        # chain while XLA lays the big flat tensors out D-major for the
+        # gathers, and the conflict materializes per-step transpose loops
+        # (~30ms/step at 4 x 1.6M x 16 — profile_populate_trace.py).
+        g_small_b = jax.vmap(
+            lambda x_l, g_l: self._small_field_grads(
+                x_l, g_l.reshape(B, -1, D)))(x, g_rows)
+        sumsq = jnp.sum(
+            (table * table).reshape(N, V * D), axis=1)  # [N]
+        u = coef * table
+        if g_small_b is not None:
+            S = g_small_b.shape[1]
+            small_ids = ((jnp.arange(N, dtype=jnp.int32) * V)[:, None]
+                         + jnp.arange(S, dtype=jnp.int32)[None, :])
+            u = u.at[small_ids.reshape(-1)].add(
+                g_small_b.reshape(N * S, D), mode="drop",
+                unique_indices=True, indices_are_sorted=True)
+        # per-lane bias corrections broadcast to rows: lane l owns the
+        # contiguous row block [l*V, (l+1)*V)
+        bc1_rows = jnp.repeat(bc1, V)[:, None]  # [NV, 1]
+        bc2_rows = jnp.repeat(bc2, V)[:, None]
         m2f = b1 * emb_opt.m.astype(jnp.float32) + (1.0 - b1) * u
         v2f = b2 * emb_opt.v.astype(jnp.float32) + (1.0 - b2) * (u * u)
-        p2 = table - lr * (m2f / bc1) / (jnp.sqrt(v2f / bc2) + eps)
+        p2 = table - lr * (m2f / bc1_rows) / (
+            jnp.sqrt(v2f / bc2_rows) + eps)
         m2 = m2f.astype(dt)
         v2 = v2f.astype(dt)
 
-        # ---- exact correction of the big-field touched rows
         if self.big:
-            big = self.big
-            big_ids = (x[:, big] + self.offsets[None, big]).reshape(-1)
-            g_big = g_rows[:, big, :].reshape(-1, D)
-            N = big_ids.shape[0]
-            if N <= 2048:
-                # sort-free duplicate combining: the [N, N] equality matmul
-                # hands every occurrence its id's TOTAL gradient, so the
-                # .set scatters below write identical values for duplicate
-                # ids — idempotent, hence exact without a bitonic sort.
-                # O(N^2) though: the materialized [N, N] f32 dot operand
-                # beats the sort only for small N (N=1024: +46us over sort;
-                # N=7168: 205MB operand, measured ~2x SLOWER per CDC burst)
-                eqf = (big_ids[:, None] == big_ids[None, :]).astype(g_big.dtype)
-                # non-finite guard: 0 * inf = nan would poison EVERY row of
-                # the matmul, not just the overflowed id's.  Combine the
-                # finite values, then mark every occurrence of an id that
-                # had ANY non-finite contribution as nan — identical across
-                # duplicates (keeping the .set writes idempotent) and
-                # matching the dense scatter-add's "that id's row is
-                # poisoned" semantics.
-                g_fin = jnp.where(jnp.isfinite(g_big), g_big, 0.0)
-                dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-                    a, b, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST)
-                g_u = dot(eqf, g_fin)
-                bad = dot(eqf, jnp.any(~jnp.isfinite(g_big), axis=-1,
-                                       keepdims=True).astype(g_big.dtype))
-                g_u = jnp.where(bad > 0, jnp.nan, g_u)
-                id_u = big_ids
-                kw = {}
-            else:
-                id_u, g_u, _ = combine_duplicate_rows(big_ids, g_big, self.vocab)
-                # sentinel (out-of-range) ids from dedup padding are
-                # dropped; ids are sorted+unique by construction
-                kw = dict(mode="drop", unique_indices=True,
-                          indices_are_sorted=True)
-            p_old = jnp.take(table, id_u, axis=0, mode="clip")
-            m_old = jnp.take(emb_opt.m, id_u, axis=0, mode="clip").astype(jnp.float32)
-            v_old = jnp.take(emb_opt.v, id_u, axis=0, mode="clip").astype(jnp.float32)
+            # per-lane duplicate combining (lane-local ids, sentinel >= V)
+            id_u, g_u = jax.vmap(
+                lambda x_l, g_l: self._combine_big(
+                    x_l, g_l.reshape(B, -1, D)))(x, g_rows)
+            # flat lane-offset ids; sentinels must NOT land in the next
+            # lane's block -> remapped past the whole flat table (dropped)
+            lane_off = (jnp.arange(N, dtype=id_u.dtype) * V)[:, None]
+            flat_ids = jnp.where(id_u < V, id_u + lane_off, NV)  # [N, NB]
+            p_old = jnp.take(table, flat_ids.reshape(-1), axis=0,
+                             mode="clip").reshape(*flat_ids.shape, D)
+            m_old = jnp.take(emb_opt.m, flat_ids.reshape(-1), axis=0,
+                             mode="clip").astype(jnp.float32).reshape(
+                                 *flat_ids.shape, D)
+            v_old = jnp.take(emb_opt.v, flat_ids.reshape(-1), axis=0,
+                             mode="clip").astype(jnp.float32).reshape(
+                                 *flat_ids.shape, D)
             ub = g_u + coef * p_old
             mb = b1 * m_old + (1.0 - b1) * ub
             vb = b2 * v_old + (1.0 - b2) * (ub * ub)
-            pb = p_old - lr * (mb / bc1) / (jnp.sqrt(vb / bc2) + eps)
-            p2 = p2.at[id_u].set(pb, **kw)
-            m2 = m2.at[id_u].set(mb.astype(dt), **kw)
-            v2 = v2.at[id_u].set(vb.astype(dt), **kw)
-
+            pb = p_old - lr * (mb / bc1[:, None, None]) / (
+                jnp.sqrt(vb / bc2[:, None, None]) + eps)
+            # sorted-hint dropped: sentinel remapping breaks global order
+            # across lane boundaries; measured free on the flat scatter
+            kw = self._scatter_kw(B * len(self.big))
+            fkw = dict(mode="drop",
+                       unique_indices=kw.get("unique_indices", False))
+            fids = flat_ids.reshape(-1)
+            p2 = p2.at[fids].set(pb.reshape(-1, D), **fkw)
+            m2 = m2.at[fids].set(mb.reshape(-1, D).astype(dt), **fkw)
+            v2 = v2.at[fids].set(vb.reshape(-1, D).astype(dt), **fkw)
         return p2, SparseEmbedState(m=m2, v=v2), sumsq
 
 
