@@ -8,9 +8,19 @@ default the harness runs on an 8-device virtual CPU mesh to validate the
 mechanics and the collective structure; on real multi-chip hardware run
 it as-is (it uses whatever jax.devices() offers).
 
-Usage: python scripts/bench_scaling.py [--real]   (--real: no CPU forcing)
+Usage:
+  python scripts/bench_scaling.py [--real]     (--real: no CPU forcing)
+  python scripts/bench_scaling.py --project    multi-chip PROJECTION pack:
+      compiles the REAL flagship sharded step on the virtual mesh, parses
+      the compiled HLO for its collectives (op + payload bytes), checks the
+      parsed schedule against the analytic comms model (dense-grad psum over
+      ``data``; sharded-lookup gather/psum over ``model``), and projects
+      examples/sec/chip at 8/16/32 chips from the measured single-chip
+      step time + the comms model over v5e ICI.  See docs/RESULTS.md
+      "Multi-chip scaling projections".
 """
 
+import re
 import sys
 import time
 
@@ -109,7 +119,203 @@ def run_mesh(n_data: int) -> float:
     return bs * K * MEASURE / dt
 
 
+# ---------------------------------------------------------------------------
+# --project: comms-model + HLO-verified multi-chip projection pack
+# (VERDICT round-4 item 7).  Hardware beyond one chip is not reachable from
+# this image, so the ≥80% weak-scaling north-star is made TESTABLE instead:
+# an analytic per-step comms model checked against the collectives XLA
+# actually emits for the sharded flagship step on the virtual mesh.
+
+# v5e ICI: one-directional bandwidth per chip.  "How to Scale Your Model"
+# (jax-ml.github.io/scaling-book) lists 4.5e10 B/s for v5e's 2D torus
+# (both axes combined, one direction).  An 8/16-chip CTR job rides one
+# torus; DCN never enters below 256 chips.
+V5E_ICI_BYTES_S = 4.5e10
+
+_DTYPE_BYTES = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+                "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+                "pred": 1}
+_COLL_RE = re.compile(
+    r"=\s*(?P<res>\(?.*?\)?)\s*"
+    r"(?P<op>all-reduce|all-gather|reduce-scatter|all-to-all|"
+    r"collective-permute)(?:-start)?\(")
+_TYPE_RE = re.compile(r"(f64|f32|f16|bf16|s64|s32|s16|s8|u64|u32|u16|u8|pred)"
+                      r"\[([\d,]*)\]")
+
+
+def _payload_bytes(result_types: str) -> int:
+    total = 0
+    for dt, dims in _TYPE_RE.findall(result_types):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def _group_size(line: str, n_total: int) -> int:
+    """Participants per replica group of a collective HLO line."""
+    m = re.search(r"replica_groups=\{\{([\d,]+)\}", line)
+    if m:  # literal form {{0,2},{1,3}}
+        return len(m.group(1).split(","))
+    m = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
+    if m:  # iota form [groups, group_size]<=[...]
+        return int(m.group(2))
+    return n_total
+
+
+def parse_collectives(hlo_text: str, n_total: int):
+    """[(op, group_size, payload_bytes)] for every collective in the HLO."""
+    out = []
+    for line in hlo_text.splitlines():
+        m = _COLL_RE.search(line)
+        if m and "%" in line:
+            out.append((m.group("op"), _group_size(line, n_total),
+                        _payload_bytes(m.group("res"))))
+    return out
+
+
+def _ring_steptime(colls, n_data, n_model, bw=V5E_ICI_BYTES_S):
+    """Per-step comms seconds under ring algorithms at (n_data, n_model),
+    rescaling each parsed collective's (n-1)/n factor to the target mesh.
+    Collectives parsed on the (4, 2) virtual mesh are classified by their
+    group size (4 -> data axis, 2 -> model axis)."""
+    t = 0.0
+    for op, g, payload in colls:
+        n = n_data if g != 2 else n_model
+        if n <= 1:
+            continue
+        frac = (n - 1) / n
+        if op == "all-reduce":
+            t += 2 * frac * payload / bw
+        elif op in ("all-gather", "reduce-scatter", "all-to-all"):
+            t += frac * payload / bw
+        else:  # collective-permute
+            t += payload / bw
+    return t
+
+
+def project():
+    """Compile the REAL flagship sharded train step (full 1.6M-row table)
+    on the (4, 2) virtual mesh via AOT avals (no buffers allocated), parse
+    its collectives, verify them against the analytic model, and project
+    weak-scaling efficiency at 8/16/32 chips."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    field_dims = (250000, 10, 10, 10, 10, 10, 10, 10, 10, 1368287, 50,
+                  5000, 400, 3000, 80, 80, 60, 30, 12, 12, 12, 12, 4)
+    domain_idx, n_tower, per_chip_bs, K = 10, 4, 512, 8
+    n_data, n_model = 4, 2
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=jax.devices()[:8])
+    sh = Shardings(mesh)
+    bs = per_chip_bs * n_data
+
+    mcfg = ModelConfig(
+        model="mmoe", embed_dim=16,
+        mmoe_expert_dims=(256, 128, 64), mmoe_tower_dims=(64, 32),
+        use_atten=True, atten_embed_dim=64, att_layer_num=3, att_head_num=2)
+    tcfg = TrainConfig(bs=bs)
+    model = build_model("mmoe", field_dims, n_tower, domain_idx, mcfg)
+    # abstract state: init under eval_shape, shardings attached to avals
+    variables = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((bs, len(field_dims)), jnp.int32))
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    reg = reg_coef_tree(
+        jax.tree_util.tree_map(lambda a: np.zeros((), np.float32), params),
+        "mmoe", 1e-5, 1e-5, 1e-5)
+    tx = make_optimizer(tcfg)
+    state_aval = jax.eval_shape(lambda p: TrainState(
+        params=p, opt_state=init_sparse_opt_state(p, tx),
+        model_state=model_state, step=jnp.zeros((), jnp.int32)), params)
+    state_sh = sh.state_sharding(state_aval)
+    state_aval = jax.tree_util.tree_map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        state_aval, state_sh)
+
+    scan_steps, _ = make_hybrid_train_step(
+        model, tcfg, reg, multi_tower=True,
+        mutable_keys=tuple(model_state.keys()),
+        l2_reg_embedding=1e-5, optimizer=tx, scan_k=K)
+
+    batch_sh = NamedSharding(mesh, P(None, "data"))
+    batch_aval = {
+        "x": jax.ShapeDtypeStruct((K, bs, len(field_dims)), jnp.int32,
+                                  sharding=batch_sh),
+        "y": jax.ShapeDtypeStruct((K, bs), jnp.float32, sharding=batch_sh),
+        "group": jax.ShapeDtypeStruct((K, bs), jnp.int32, sharding=batch_sh),
+        "mask": jax.ShapeDtypeStruct((K, bs), jnp.float32, sharding=batch_sh),
+    }
+    rngs_aval = jax.eval_shape(
+        lambda k: jax.random.split(k, K), jax.random.PRNGKey(0))
+
+    print("lowering + compiling the sharded flagship step "
+          f"(table {sum(field_dims):,} rows x 16, mesh {n_data}x{n_model}, "
+          f"K={K}, bs/chip={per_chip_bs})...")
+    compiled = scan_steps.lower(state_aval, batch_aval, rngs_aval).compile()
+    hlo = compiled.as_text()
+    colls = parse_collectives(hlo, 8)
+    # the scan body executes K times per dispatch; its collectives appear
+    # once in the while-loop body -> per-STEP accounting, divide nothing.
+    print(f"\ncollectives in the compiled step (per scan step, {len(colls)}):")
+    per_op = {}
+    for op, g, payload in colls:
+        axis = "model" if g == n_model else "data"
+        per_op.setdefault((op, axis), [0, 0])
+        per_op[(op, axis)][0] += 1
+        per_op[(op, axis)][1] += payload
+    for (op, axis), (cnt, tot) in sorted(per_op.items()):
+        print(f"  {op:<20} over {axis:<5} x{cnt:<3} {tot/1e6:8.2f} MB total")
+
+    # ---- analytic model the parsed schedule must match ----------------
+    # dense (non-embedding) grads psum over `data`: every replicated param
+    n_dense = sum(
+        int(np.prod(a.shape)) for p, a in
+        jax.tree_util.tree_leaves_with_path(params)
+        if "embedding" not in jax.tree_util.keystr(p))
+    dense_bytes = n_dense * 4
+    # row-sharded table lookup: the gathered [bs, F, D] rows are produced
+    # as partial gathers (off-shard rows zero) + psum over `model`; the
+    # row-grad transpose psums back the same payload.
+    lookup_bytes = bs * len(field_dims) * 16 * 4
+    print(f"\nanalytic model: dense-grad psum {dense_bytes/1e6:.2f} MB over "
+          f"data; sharded-lookup psum ~{lookup_bytes/1e6:.2f} MB x2 over "
+          "model")
+    parsed_data_ar = sum(p for (op, ax), (_, p) in
+                         [(k, v) for k, v in per_op.items()]
+                         if op == "all-reduce" and ax == "data")
+    if parsed_data_ar:
+        ratio = parsed_data_ar / dense_bytes
+        print(f"parsed data-axis all-reduce = {parsed_data_ar/1e6:.2f} MB "
+              f"({ratio:.2f}x the dense-grad model)")
+        assert 0.5 < ratio < 3.0, (
+            "collective schedule diverges from the comms model")
+        print("schedule matches the comms model (within fusion slack)  OK")
+
+    # ---- projections ---------------------------------------------------
+    # measured single-chip steady state (bench.py round-5): f32 282.3k,
+    # bf16 297.7k examples/sec/chip at bs=512
+    for label, eps1 in (("f32", 282_300.0), ("bf16 compute", 297_700.0)):
+        t_comp = per_chip_bs / eps1
+        print(f"\nprojection ({label}, single-chip {eps1:,.0f} ex/s/chip, "
+              f"ICI {V5E_ICI_BYTES_S/1e9:.0f} GB/s one-way):")
+        for nd, nm in ((4, 1), (8, 1), (8, 2), (16, 1), (16, 2), (32, 1)):
+            t_comm = _ring_steptime(colls, nd, nm)
+            eps_chip = per_chip_bs / (t_comp + t_comm)
+            eff = eps_chip / eps1
+            print(f"  {nd*nm:3d} chips (data={nd:2d}, model={nm}): "
+                  f"{eps_chip:10,.0f} ex/s/chip, weak-scaling eff "
+                  f"{eff*100:5.1f}%  (comms {t_comm*1e6:6.1f} us/step vs "
+                  f"compute {t_comp*1e6:6.1f} us)")
+
+
 def main():
+    if "--project" in sys.argv:
+        project()
+        return
     n_dev = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
     base = None

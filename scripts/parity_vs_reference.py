@@ -468,6 +468,12 @@ def main():
                          "freeze_after_updates=3); the reference side "
                          "still runs its own train_cdc — this races the "
                          "extended procedure against the original")
+    # individual cdc-plus knobs (ours only) for mechanism A/Bs — e.g.
+    # --probe_eval_batches 8 alone isolates probe-noise as the source of
+    # plain-CDC's conflict-seed variance (VERDICT round-4 item 3)
+    ap.add_argument("--probe_eval_batches", type=int, default=None)
+    ap.add_argument("--mask_ema", type=float, default=None)
+    ap.add_argument("--freeze_after_updates", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -523,6 +529,15 @@ def main():
                 cdc_kw.update(probe_eval_batches=8, mask_ema=0.5,
                               freeze_after_updates=3)
                 ours_label = "cdc-plus"
+            knob_bits = []
+            for knob in ("probe_eval_batches", "mask_ema",
+                         "freeze_after_updates"):
+                val = getattr(args, knob)
+                if val is not None:
+                    cdc_kw[knob] = val
+                    knob_bits.append(f"{knob}={val}")
+            if knob_bits:
+                ours_label = "cdc[" + ",".join(knob_bits) + "]"
             ref_flags = ["--base_model", "mmoe",
                          "--n_cluster", args.n_cluster,
                          "--n_causal_mask", args.n_causal_mask,
