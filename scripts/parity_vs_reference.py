@@ -396,7 +396,7 @@ def run_ours_cdc(epochs: int, csv: str, seed: int, cdc_kw: dict,
                           atten_embed_dim=64, att_layer_num=3,
                           att_head_num=2),
         train=TrainConfig(bs=512, epoch=epochs, seed=seed),
-        cdc=CDCConfig(base_model="mmoe", **cdc_kw),
+        cdc=CDCConfig(**{"base_model": "mmoe", **cdc_kw}),
     )
     tr = CDCTrainer(cfg, field_dims, n_domain, 3)
     out = tr.fit((X[tr_m], y[tr_m]), (X[va_m], y[va_m]),
@@ -474,6 +474,10 @@ def main():
     ap.add_argument("--probe_eval_batches", type=int, default=None)
     ap.add_argument("--mask_ema", type=float, default=None)
     ap.add_argument("--freeze_after_updates", type=int, default=None)
+    # CDC base architecture, BOTH sides (reference main.py:19 --base_model;
+    # run.py:424-425 wraps mmoe/ple/pepnet/epnet/star) — star exercises the
+    # partitioned-norm group=None path end to end (VERDICT round-4 item 1)
+    ap.add_argument("--cdc_base", default="mmoe")
     args = ap.parse_args()
 
     import jax
@@ -523,8 +527,10 @@ def main():
                           n_causal_mask=args.n_causal_mask,
                           warmup_step=args.cdc_warmup,
                           update_matrix_step=args.cdc_matrix_step,
-                          update_interval=args.cdc_interval)
-            ours_label = "cdc"
+                          update_interval=args.cdc_interval,
+                          base_model=args.cdc_base)
+            ours_label = ("cdc" if args.cdc_base == "mmoe"
+                          else f"cdc({args.cdc_base})")
             if args.cdc_plus:
                 cdc_kw.update(probe_eval_batches=8, mask_ema=0.5,
                               freeze_after_updates=3)
@@ -538,7 +544,7 @@ def main():
                     knob_bits.append(f"{knob}={val}")
             if knob_bits:
                 ours_label = "cdc[" + ",".join(knob_bits) + "]"
-            ref_flags = ["--base_model", "mmoe",
+            ref_flags = ["--base_model", args.cdc_base,
                          "--n_cluster", args.n_cluster,
                          "--n_causal_mask", args.n_causal_mask,
                          "--warmup_step", args.cdc_warmup,
