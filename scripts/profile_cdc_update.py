@@ -14,6 +14,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parallel_rows", type=int, default=0)
     ap.add_argument("--placement", default="auto")
+    ap.add_argument("--compute_dtype", default="float32",
+                    help="bfloat16 = opt-in MXU-rate bursts/evals "
+                         "(documented divergence; sweep math stays f32)")
     args = ap.parse_args()
 
     import jax
@@ -34,7 +37,7 @@ def main():
         model=ModelConfig(model="mmoe", embed_dim=16,
                           mlp_dims=(256, 128, 64), use_atten=True,
                           atten_embed_dim=64, att_layer_num=3),
-        train=TrainConfig(bs=512, seed=0),
+        train=TrainConfig(bs=512, seed=0, compute_dtype=args.compute_dtype),
         cdc=CDCConfig(base_model="mmoe", n_cluster=4, n_causal_mask=50,
                       update_matrix_step=4,
                       parallel_rows=args.parallel_rows,

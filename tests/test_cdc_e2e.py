@@ -533,6 +533,35 @@ def test_cdc_parallel_rows_sharded_matches_single(data):
         list(sharded.cluster.domain2group_list)
 
 
+@pytest.mark.slow
+def test_cdc_bf16_compute_end_to_end(data):
+    """CDC under compute_dtype='bfloat16' (the opt-in MXU-rate mode that
+    cuts the fwd/bwd-dominated counterfactual bursts): full fit still
+    learns and produces a valid partition, and the matrices stay close
+    to the f32 run's (operand rounding only — sweep math, moments and
+    params remain f32)."""
+    import dataclasses
+
+    cfg = _cfg("mmoe")
+    f32 = CDCTrainer(cfg, data.field_dims, data.n_domain, data.domain_idx)
+    f32.setup_data(data.train, data.valid)
+    f32.update_matrix_cdc(1)
+
+    bcfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, compute_dtype="bfloat16"))
+    b16 = CDCTrainer(bcfg, data.field_dims, data.n_domain, data.domain_idx)
+    b16.setup_data(data.train, data.valid)
+    b16.update_matrix_cdc(1)
+    assert np.all(np.isfinite(b16.cluster.matrix_mask))
+    assert np.corrcoef(f32.cluster.matrix_A.ravel(),
+                       b16.cluster.matrix_A.ravel())[0, 1] > 0.98
+
+    out = b16.fit(data.train, data.valid)
+    labels = out["domain2group_list"]
+    assert len(labels) == data.n_domain and set(labels) <= {0, 1}
+    assert out["valid"]["total_auc"] > 0.55
+
+
 def test_dump_matrices_writes_full_artifact_set(tmp_path, data):
     """csv + xlsx + per-cell annotated png per matrix (cdc.py:395-426)."""
     cfg = _cfg("mmoe")
