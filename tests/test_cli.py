@@ -21,7 +21,7 @@ def test_build_config_roundtrip():
         "--model", "cdc", "--base_model", "ple", "--n_cluster", "3",
         "--affinity_func", "divide", "--lr", "0.01",
         "--probe_eval_batches", "4", "--mask_ema", "0.5",
-        "--freeze_after_updates", "2",
+        "--freeze_after_updates", "2", "--parallel_rows", "6",
     ])
     cfg = build_config(args)
     assert cfg.model.model == "cdc"
@@ -32,6 +32,7 @@ def test_build_config_roundtrip():
     assert cfg.cdc.probe_eval_batches == 4
     assert cfg.cdc.mask_ema == 0.5
     assert cfg.cdc.freeze_after_updates == 2
+    assert cfg.cdc.parallel_rows == 6
 
 
 def test_cdc_plus_flags_default_to_reference_behavior():
@@ -39,6 +40,7 @@ def test_cdc_plus_flags_default_to_reference_behavior():
     assert cfg.cdc.probe_eval_batches == 1
     assert cfg.cdc.mask_ema == 0.0
     assert cfg.cdc.freeze_after_updates == 0
+    assert cfg.cdc.parallel_rows == 0
 
 
 @pytest.mark.slow
