@@ -74,7 +74,9 @@ def main():
         field_dims=FIELD_DIMS[:10] + (args.domains,) + FIELD_DIMS[11:])
     print(f"data gen: {time.perf_counter()-t0:.0f}s", flush=True)
 
-    bs, K = 512, 64
+    from tpurec.cdc.engine import CDCTrainer as _CT
+
+    bs, K = 512, _CT._SPAN_SCAN  # warm + account in full scan chunks
     for placement in ("stream", "resident"):
         tr = build(placement, args.rows, args.domains, data)
         seq = tr.train_batcher.epoch_seq()[: (args.chunks + 2) * K]

@@ -1310,7 +1310,13 @@ class CDCTrainer:
             i = seg_end
         return loss_sum / max(n_steps, 1)
 
-    _SPAN_SCAN = 64  # split-mode steps per scanned dispatch
+    # split-mode steps per scanned dispatch.  Round-5 A/B at 5M rows /
+    # 50 domains (scripts/profile_stream_span.py): resident spans 259.4k
+    # ex/s at 64 -> 268.0k at 256 (+3.3%, same dispatch-amortization
+    # knee as TrainConfig.steps_per_dispatch); stream spans are
+    # feed-bound and unchanged (234k/231k).  Short tails pad to gated
+    # steps, which lax.cond skips.
+    _SPAN_SCAN = 256
     _HIST_BINS = 8192  # streaming-eval score bins (AUC error O(1/bins))
 
     def _train_span(self, seq, lo: int, hi: int) -> float:
